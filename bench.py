@@ -1,0 +1,150 @@
+"""Headline benchmark: ELBO classification throughput (images/sec/chip).
+
+Measures the fused (class × eval) megabatch classifier
+(`diffusion_classifier_tpu/diffusion/classify.py`) on the flagship CIFAR-sized
+conditional UNet, against the reference's execution model — one denoiser
+forward per (evaluation, class) (`/root/reference/diffusion/
+diffusion_classifier.py:681-714`) — rebuilt with the SAME model on the SAME
+chip as an on-device scan. That is deliberately conservative: the real
+reference issues those forwards from Python and pays host-dispatch latency per
+call, which this baseline does NOT pay, so ``vs_baseline`` isolates the pure
+megabatching/MXU-utilization win.
+
+Timing methodology (this TPU is reached through a relay with ~30 ms
+round-trip latency and duplicate-execution caching): each measured quantity
+is computed from the DELTA between a 1-repeat and an R-repeat on-device
+`lax.scan` chain with per-iteration RNG, ending in a scalar fetch — fixed
+relay latency and dispatch cost cancel out.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}``.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+BATCH = 32
+CLASSES = 10
+EVALS = 4
+CHAIN = 4  # extra repeats for the delta measurement
+TRIALS = 3
+
+
+def _timed_delta(fn1, fnR, repeats):
+    """Best-of-TRIALS per-repeat seconds from (T_R − T_1)/(R−1)."""
+    fn1(0), fnR(0)  # compile both
+    best = float("inf")
+    for i in range(TRIALS):
+        t0 = time.perf_counter()
+        fn1(i + 1)
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fnR(i + 1)
+        tr = time.perf_counter() - t0
+        best = min(best, (tr - t1) / (repeats - 1))
+    return best
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship
+    from diffusion_classifier_tpu.diffusion.classify import make_classifier
+    from diffusion_classifier_tpu.diffusion.process import bcast_right, pred_to_eps
+    from diffusion_classifier_tpu.diffusion.schedule import (
+        alpha_sigma,
+        make_schedule_fn,
+    )
+
+    denoiser, size = _flagship()
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.uniform(rng, (BATCH, size, size, 3), minval=-1, maxval=1)
+    labels = jnp.zeros((BATCH,), jnp.int32)
+    params = denoiser.init(rng, x, jnp.zeros((BATCH,)), labels)
+    schedule_fn = make_schedule_fn("shifted_cosine", 32, 32)
+    apply_fn = lambda p, z, lg, lab: denoiser.apply(p, z, lg, lab)
+
+    classify = make_classifier(
+        apply_fn,
+        schedule_fn,
+        pred_param="v",
+        num_classes=CLASSES,
+        n_stages=1,
+        evaluation_per_stage=(EVALS,),
+        n_keep_per_stage=(1,),
+    )
+
+    def chained(fn, repeats):
+        # params/x/labels must be ARGUMENTS of the jitted chain — closing over
+        # them would inline 96M weights as HLO constants and blow the remote
+        # compiler's request size limit.
+        @jax.jit
+        def run(params, x, labels, seed):
+            def body(carry, key):
+                return carry + fn(params, x, labels, key).astype(jnp.int32).sum(), None
+
+            keys = jax.random.split(
+                jax.random.fold_in(jax.random.PRNGKey(0), seed), repeats
+            )
+            total, _ = jax.lax.scan(body, jnp.int32(0), keys)
+            return total
+
+        return lambda seed: int(run(params, x, labels, jnp.int32(seed)))
+
+    # ---- fused tournament ----
+    fused_fn = classify
+    fused_sec = _timed_delta(
+        chained(fused_fn, 1), chained(fused_fn, 1 + CHAIN), 1 + CHAIN
+    )
+
+    # ---- reference execution model: per-(eval, class) forwards, on-device ----
+    def sequential_fn(params, x, labels, key):
+        del labels
+        def eval_body(total, key):
+            k_t, k_eps = jax.random.split(key)
+            t = jax.random.uniform(k_t, (BATCH,))
+            logsnr = schedule_fn(t)
+            a, s = alpha_sigma(logsnr)
+            eps = jax.random.normal(k_eps, x.shape)
+            z = bcast_right(a, 4) * x + bcast_right(s, 4) * eps
+
+            def class_body(errs, c):
+                lab_c = jnp.full((BATCH,), c, jnp.int32)
+                pred = apply_fn(params, z, logsnr, lab_c)  # batch B forward
+                eps_pred = pred_to_eps(pred, z, a, s, "v")
+                err = jnp.sum((eps_pred - eps) ** 2, axis=(1, 2, 3))
+                return errs.at[:, c].set(err), None
+
+            errs, _ = jax.lax.scan(
+                class_body, jnp.zeros((BATCH, CLASSES)), jnp.arange(CLASSES)
+            )
+            return total + errs, None
+
+        keys = jax.random.split(key, EVALS)
+        total, _ = jax.lax.scan(eval_body, jnp.zeros((BATCH, CLASSES)), keys)
+        return jnp.argmin(total, axis=1)
+
+    seq_sec = _timed_delta(
+        chained(sequential_fn, 1), chained(sequential_fn, 1 + CHAIN), 1 + CHAIN
+    )
+
+    fused_ips = BATCH / fused_sec
+    seq_ips = BATCH / seq_sec
+    print(
+        json.dumps(
+            {
+                "metric": "elbo_classify_images_per_sec",
+                "value": round(fused_ips, 3),
+                "unit": "images/sec",
+                "vs_baseline": round(fused_ips / seq_ips, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

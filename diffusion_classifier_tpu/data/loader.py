@@ -1,0 +1,125 @@
+"""Minimal host-side batch loaders feeding the TPU input pipeline.
+
+Replaces the reference's torch ``DataLoader`` worker processes
+(`dataset/cifar.py:20-45` et al.) with a simple epoch-shuffled batching
+iterator over in-memory numpy arrays plus an optional background-thread
+prefetcher for pipelines with per-item decode cost. Batch contract matches
+the reference exactly: ``{"images": [B,H,W,C] float32, "prompt": [B] int32}``
+(NHWC here — TPU-native layout — vs the reference's NCHW).
+
+``drop_last`` is always true: static shapes are a requirement for compiled
+TPU steps (SURVEY §7 "fixed shapes").
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+
+__all__ = ["ArrayDataLoader", "MapDataLoader", "Prefetcher"]
+
+
+class ArrayDataLoader:
+    """Batches over in-memory arrays; reshuffles every epoch."""
+
+    def __init__(
+        self,
+        images: np.ndarray,
+        labels: np.ndarray,
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        seed: int = 0,
+        extra: Optional[dict] = None,
+    ):
+        assert len(images) == len(labels)
+        self.images = np.asarray(images, np.float32)
+        self.labels = np.asarray(labels, np.int32)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.extra = extra or {}
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return len(self.images) // self.batch_size
+
+    def __iter__(self) -> Iterator[dict]:
+        order = np.arange(len(self.images))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        for i in range(len(self)):
+            idx = order[i * self.batch_size : (i + 1) * self.batch_size]
+            batch = {"images": self.images[idx], "prompt": self.labels[idx]}
+            for k, v in self.extra.items():
+                batch[k] = v[idx]
+            yield batch
+
+
+class MapDataLoader:
+    """Batches computed per-item via ``load_fn(index) -> (image, label)``.
+
+    For datasets with decode cost (JPEG/PNG/lz4 volumes); use with
+    :class:`Prefetcher` to overlap host decode with device compute.
+    """
+
+    def __init__(
+        self,
+        num_items: int,
+        load_fn: Callable[[int], tuple],
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        seed: int = 0,
+    ):
+        self.num_items = num_items
+        self.load_fn = load_fn
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return self.num_items // self.batch_size
+
+    def __iter__(self) -> Iterator[dict]:
+        order = np.arange(self.num_items)
+        if self.shuffle:
+            self._rng.shuffle(order)
+        for i in range(len(self)):
+            idx = order[i * self.batch_size : (i + 1) * self.batch_size]
+            items = [self.load_fn(j) for j in idx]
+            images = np.stack([im for im, _ in items]).astype(np.float32)
+            labels = np.asarray([lb for _, lb in items], np.int32)
+            yield {"images": images, "prompt": labels}
+
+
+class Prefetcher:
+    """Background-thread prefetch of a loader (double-buffered by default)."""
+
+    def __init__(self, loader, depth: int = 2):
+        self.loader = loader
+        self.depth = depth
+
+    def __len__(self) -> int:
+        return len(self.loader)
+
+    def __iter__(self):
+        q: queue.Queue = queue.Queue(maxsize=self.depth)
+        sentinel = object()
+
+        def worker():
+            try:
+                for batch in self.loader:
+                    q.put(batch)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item

@@ -1,0 +1,177 @@
+"""Per-class ELBO classification as fused fixed-shape device programs.
+
+This is the throughput core of the framework — the reference's triple Python
+loop over (stage → evaluation → class), each iteration one full denoiser
+forward issued from the host (`diffusion/diffusion_classifier.py:657-725`,
+cost model SURVEY §3.2), collapsed into megabatched TPU steps:
+
+- Each evaluation draws ONE shared ``(t, ε)`` per batch element (reference
+  `:687-692`) — the protocol invariant that makes per-class errors
+  comparable.
+- All surviving candidate classes for a group of evaluations are scored in a
+  SINGLE denoiser forward on a ``[B · K · G]`` megabatch (classes broadcast,
+  shared noise), instead of ``K · G`` sequential forwards.
+- Stage pruning (reference `:717-721`): per-class mean error over all
+  evaluations so far; keep the ``n_keep_per_stage[i]`` lowest. Stages are
+  unrolled in Python (static config), so candidate shapes stay fixed per
+  stage — no dynamic shapes under jit.
+- The reference's "+inf init" semantics (`:669`) — classes that miss any
+  evaluation rank last — are reproduced with an (err_sum, count) pair:
+  ``mean = where(count == evals_so_far, err_sum / evals_so_far, +inf)``.
+- Fast mode (reference `:671-677`): score only the true class plus
+  ``n_fast_classes − 1`` uniformly drawn incorrect classes (with
+  replacement, matching ``torch.randint``); candidate 0 is the true class.
+
+Error metric per (example, class, eval): ``‖ε̂ − ε‖²₂`` over the flattened
+image (reference `:711`), accumulated in float32.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .process import bcast_right, pred_to_eps
+from .schedule import alpha_sigma
+
+__all__ = ["make_classifier", "auto_eval_group"]
+
+
+def auto_eval_group(n_evals: int, batch: int, k_classes: int, target: int = 512) -> int:
+    """Largest divisor G of ``n_evals`` with megabatch ``B·K·G ≤ target``."""
+    best = 1
+    for g in range(1, n_evals + 1):
+        if n_evals % g == 0 and batch * k_classes * g <= target:
+            best = g
+    return best
+
+
+def make_classifier(
+    apply_fn: Callable,
+    schedule_fn: Callable,
+    *,
+    pred_param: str,
+    num_classes: int,
+    n_stages: int,
+    evaluation_per_stage: Sequence[int],
+    n_keep_per_stage: Sequence[int],
+    fast: bool = False,
+    n_fast_classes: int = 2,
+    eval_group: int = 0,
+    megabatch_target: int = 512,
+):
+    """Build ``classify(params, x, labels, rng) -> predicted class ids [B]``.
+
+    ``labels`` is consumed only in fast mode (oracle-assisted candidate
+    subsetting, reference `:671-677`); pass zeros otherwise.
+    """
+    ev = (0,) + tuple(evaluation_per_stage)
+    keep = tuple(n_keep_per_stage)
+    assert len(ev) - 1 == n_stages and len(keep) == n_stages
+    assert keep[-1] == 1, (
+        "Only one class should be selected at the end of the classification process."
+    )
+    if fast:
+        assert 2 <= n_fast_classes <= num_classes
+
+    def _score_stage(params, x, cand, err_sum, count, rng, n_evals, group):
+        """Score `cand` [B,K] over `n_evals` evaluations, G at a time."""
+        b = x.shape[0]
+        k = cand.shape[1]
+        n_chunks = n_evals // group
+        keys = jax.random.split(rng, n_chunks)
+
+        img_axes = tuple(range(1, x.ndim))  # spatial+channel axes of one image
+
+        def chunk_body(carry, key):
+            err_sum, count = carry
+            k_t, k_eps = jax.random.split(key)
+            # One shared (t, ε) per (eval-in-group, batch element) — classes
+            # all see identical noise (reference `:687-692`).
+            t = jax.random.uniform(k_t, (group, b))
+            logsnr_t = schedule_fn(t)  # [G, B]
+            alpha_t, sigma_t = alpha_sigma(logsnr_t)
+            eps = jax.random.normal(k_eps, (group,) + x.shape, dtype=x.dtype)
+            a = bcast_right(alpha_t, eps.ndim).astype(x.dtype)
+            s = bcast_right(sigma_t, eps.ndim).astype(x.dtype)
+            z = a * x[None] + s * eps  # [G, B, ...]
+
+            # Megabatch: broadcast (G, B, ...) across K candidates → [G·B·K, ...]
+            zz = jnp.broadcast_to(
+                z[:, :, None], (group, b, k) + x.shape[1:]
+            ).reshape((group * b * k,) + x.shape[1:])
+            lg = jnp.broadcast_to(
+                logsnr_t[:, :, None], (group, b, k)
+            ).reshape(-1)
+            lab = jnp.broadcast_to(cand[None], (group, b, k)).reshape(-1)
+
+            pred = apply_fn(params, zz, lg, lab)
+            al, si = alpha_sigma(lg)
+            eps_pred = pred_to_eps(pred, zz, al, si, pred_param)
+            eps_rep = jnp.broadcast_to(
+                eps[:, :, None], (group, b, k) + x.shape[1:]
+            ).reshape((group * b * k,) + x.shape[1:])
+            err = jnp.sum(
+                jnp.square((eps_pred - eps_rep).astype(jnp.float32)),
+                axis=img_axes,
+            ).reshape(group, b, k)
+
+            # Scatter into dense [G, B, C] slots; duplicates in `cand` write
+            # the same value (matching the reference's same-slot writes).
+            dense = jnp.full((group, b, num_classes), jnp.inf, jnp.float32)
+            g_idx = jnp.arange(group)[:, None, None]
+            b_idx = jnp.arange(b)[None, :, None]
+            dense = dense.at[g_idx, b_idx, cand[None]].set(err)
+            scored = jnp.isfinite(dense)
+            err_sum = err_sum + jnp.where(scored, dense, 0.0).sum(axis=0)
+            count = count + scored.sum(axis=0)
+            return (err_sum, count), None
+
+        (err_sum, count), _ = jax.lax.scan(chunk_body, (err_sum, count), keys)
+        return err_sum, count
+
+    def classify(params, x, labels, rng):
+        b = x.shape[0]
+
+        if fast:
+            rng, k_sel = jax.random.split(rng)
+            # incorrect classes of row b in ascending order: i + (i >= label)
+            i = jnp.arange(num_classes - 1)[None, :]
+            incorrect = i + (i >= labels[:, None])
+            sel = jax.random.randint(
+                k_sel, (b, n_fast_classes - 1), 0, num_classes - 1
+            )
+            cand = jnp.concatenate(
+                [labels[:, None], jnp.take_along_axis(incorrect, sel, axis=1)],
+                axis=1,
+            ).astype(jnp.int32)
+        else:
+            cand = jnp.broadcast_to(
+                jnp.arange(num_classes, dtype=jnp.int32)[None], (b, num_classes)
+            )
+
+        err_sum = jnp.zeros((b, num_classes), jnp.float32)
+        count = jnp.zeros((b, num_classes), jnp.int32)
+
+        stage_rngs = jax.random.split(rng, n_stages)
+        for i in range(n_stages):
+            n_evals = ev[i + 1] - ev[i]
+            group = eval_group or auto_eval_group(
+                n_evals, b, cand.shape[1], megabatch_target
+            )
+            err_sum, count = _score_stage(
+                params, x, cand, err_sum, count, stage_rngs[i], n_evals, group
+            )
+            # Mean over ALL evals so far; classes missing any eval → +inf
+            # (reference's mean-of-inf trick, `:669,719`).
+            mean = jnp.where(
+                count == ev[i + 1], err_sum / ev[i + 1], jnp.inf
+            )
+            _, keep_idx = jax.lax.top_k(-mean, keep[i])
+            cand = keep_idx.astype(jnp.int32)  # [B, keep[i]]
+
+        return cand[:, 0]
+
+    return classify

@@ -1,0 +1,98 @@
+"""Ancestral DDPM sampler as a single `lax.scan` device program.
+
+Reference semantics (`diffusion/diffusion_classifier.py:210-293`):
+
+- ``steps = linspace(from_t, 0, sampling_steps + 1)``; each of the
+  ``sampling_steps`` scan iterations applies the posterior step with fresh
+  noise — including the last transition to t=0 — and then ONE extra
+  evaluation of the final (steps[-2], steps[-1]) pair returns the clipped
+  posterior mean (the reference's "final step" block, `:271-293`).
+- ``from_t < 1`` re-noises a real image instead of starting from N(0, I)
+  (`:222-229`) — the basis of counterfactual explanation.
+
+TPU-native deltas from the reference:
+
+- the conditional + unconditional CFG forwards are fused into ONE model call
+  on a 2B megabatch (the reference issues two sequential calls, `:254-266`);
+- the whole trajectory is one compiled `lax.scan` — no Python-loop device
+  round-trips;
+- all logSNR values for the trajectory are precomputed in fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from .process import clip_x, ddpm_sampler_step, diffuse
+from .schedule import alpha_sigma
+
+__all__ = ["make_sampler"]
+
+
+def make_sampler(
+    apply_fn: Callable,
+    schedule_fn: Callable,
+    *,
+    pred_param: str,
+    cfg_w: float,
+    null_token: int,
+    sampling_steps: int,
+):
+    """Build ``sample(params, x, labels, rng, from_t=1.0) -> x_pred``.
+
+    ``apply_fn(params, z, logsnr, labels)`` is the (EMA) denoiser;
+    ``x`` supplies shape/dtype and, when ``from_t < 1``, the image to
+    re-noise. ``from_t`` is static (part of the compiled program).
+    """
+
+    def sample(params, x, labels, rng, from_t: float = 1.0):
+        b = x.shape[0]
+        steps = jnp.linspace(float(from_t), 0.0, sampling_steps + 1)
+        logsnrs = schedule_fn(steps)  # [S+1] fp32
+
+        k_init, k_loop = jax.random.split(rng)
+        if from_t == 1.0:
+            z = jax.random.normal(k_init, x.shape, dtype=x.dtype)
+        else:
+            logsnr_f = schedule_fn(jnp.full((b,), float(from_t)))
+            alpha_f, sigma_f = alpha_sigma(logsnr_f)
+            z, _ = diffuse(x, alpha_f, sigma_f, k_init)
+
+        null_labels = jnp.full_like(labels, null_token)
+        pair_labels = jnp.concatenate([labels, null_labels])
+
+        def model_pair(z_t, logsnr_scalar):
+            zz = jnp.concatenate([z_t, z_t])
+            lg = jnp.full((2 * b,), logsnr_scalar, dtype=jnp.float32)
+            pred = apply_fn(params, zz, lg, pair_labels)
+            return pred[:b], pred[b:]
+
+        def body(carry, inputs):
+            z_t, key = carry
+            logsnr_t, logsnr_s = inputs
+            pred, u_pred = model_pair(z_t, logsnr_t)
+            mu, var = ddpm_sampler_step(
+                z_t, pred, u_pred, logsnr_t, logsnr_s,
+                cfg_w=cfg_w, pred_param=pred_param,
+            )
+            key, sub = jax.random.split(key)
+            noise = jax.random.normal(sub, mu.shape, dtype=mu.dtype)
+            z_s = mu + noise * jnp.sqrt(var)
+            return (z_s, key), None
+
+        (z, _), _ = jax.lax.scan(
+            body, (z, k_loop), (logsnrs[:-1], logsnrs[1:])
+        )
+
+        # Final step: posterior mean of the last pair, no noise (`:271-293`).
+        pred, u_pred = model_pair(z, logsnrs[-2])
+        mu, _ = ddpm_sampler_step(
+            z, pred, u_pred, logsnrs[-2], logsnrs[-1],
+            cfg_w=cfg_w, pred_param=pred_param,
+        )
+        return clip_x(mu)
+
+    return sample

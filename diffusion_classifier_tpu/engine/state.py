@@ -1,0 +1,122 @@
+"""Train state pytree, EMA with ema_pytorch-parity stepping, optimizer factory.
+
+EMA semantics reproduce ``ema_pytorch.EMA(model, beta, update_after_step,
+update_every)`` as used by the reference (`diffusion/diffusion_classifier.py:51-56`,
+updated once per optimizer step at `:453`):
+
+- an internal call counter increments on every ``update()``;
+- only calls with ``counter % update_every == 0`` do anything;
+- until ``counter > update_after_step`` the EMA is a straight copy;
+- afterwards the decay RAMPS toward ``beta`` following ema_pytorch's default
+  Karras-style warmup ``d(c) = min(beta, 1 - (1 + e)^(-2/3))`` with
+  ``e = c - update_after_step - 1`` (inv_gamma=1, power=2/3, min_value=0).
+
+Everything is in-graph (`jnp.where` on scalars) so the whole update lives
+inside the jitted train step.
+
+Optimizer: Adam + HF ``get_cosine_schedule_with_warmup`` parity
+(`experiments/cifar10/train.py:108-113`), with global-norm grad clipping at
+1.0 applied before the update (reference `:444-447`).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+__all__ = [
+    "EmaConfig",
+    "TrainState",
+    "ema_decay",
+    "ema_update",
+    "cosine_warmup_schedule",
+    "make_optimizer",
+]
+
+PyTree = Any
+
+
+@flax.struct.dataclass
+class EmaConfig:
+    beta: float = flax.struct.field(pytree_node=False, default=0.9999)
+    update_after_step: int = flax.struct.field(pytree_node=False, default=100)
+    update_every: int = flax.struct.field(pytree_node=False, default=10)
+    inv_gamma: float = flax.struct.field(pytree_node=False, default=1.0)
+    power: float = flax.struct.field(pytree_node=False, default=2.0 / 3.0)
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jax.Array  # optimizer steps taken
+    params: PyTree
+    ema_params: PyTree
+    opt_state: PyTree
+    ema_counter: jax.Array  # number of ema_update() calls
+
+
+def ema_decay(counter: jax.Array, cfg: EmaConfig) -> jax.Array:
+    """Current decay for call number ``counter`` (0-based, ema_pytorch `get_current_decay`)."""
+    epoch = jnp.clip(
+        counter.astype(jnp.float32) - cfg.update_after_step - 1.0, min=0.0
+    )
+    value = 1.0 - (1.0 + epoch / cfg.inv_gamma) ** (-cfg.power)
+    return jnp.where(epoch <= 0.0, 0.0, jnp.clip(value, 0.0, cfg.beta))
+
+
+def ema_update(
+    ema_params: PyTree, params: PyTree, counter: jax.Array, cfg: EmaConfig
+) -> PyTree:
+    """One ``EMA.update()`` call; ``counter`` is the pre-increment call index."""
+    do_update = (counter % cfg.update_every) == 0
+    decay = ema_decay(counter, cfg)
+    # When skipping, keep ema as-is (decay path with d=1 on old value).
+    d = jnp.where(do_update, decay, 1.0)
+    return jax.tree.map(
+        lambda e, p: (d * e + (1.0 - d) * p).astype(e.dtype), ema_params, params
+    )
+
+
+def cosine_warmup_schedule(
+    base_lr: float, warmup_steps: int, total_steps: int
+) -> optax.Schedule:
+    """HF ``get_cosine_schedule_with_warmup`` (num_cycles=0.5) parity."""
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = step / jnp.maximum(1.0, warmup_steps)
+        progress = (step - warmup_steps) / jnp.maximum(
+            1.0, total_steps - warmup_steps
+        )
+        cos = jnp.maximum(0.0, 0.5 * (1.0 + jnp.cos(jnp.pi * progress)))
+        return base_lr * jnp.where(step < warmup_steps, warm, cos)
+
+    return schedule
+
+
+def make_optimizer(
+    learning_rate: float,
+    warmup_steps: int,
+    total_steps: int,
+    *,
+    max_grad_norm: float = 1.0,
+) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(max_grad_norm),
+        optax.adam(
+            cosine_warmup_schedule(learning_rate, warmup_steps, total_steps)
+        ),
+    )
+
+
+def init_train_state(params: PyTree, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        ema_params=jax.tree.map(jnp.copy, params),
+        opt_state=tx.init(params),
+        ema_counter=jnp.zeros((), jnp.int32),
+    )

@@ -1,0 +1,187 @@
+"""DiT denoiser (patchify → AdaLN-zero transformer blocks → unpatchify).
+
+Functional re-creation of the reference's DiT surface (`nets/dit.py:8-51`
+wraps diffusers ``DiTTransformer2DModel``): class-conditional via an internal
+label table (AdaLN-zero), continuous logSNR timesteps, ``gelu-approximate``
+MLPs. Normalized forward: ``apply(vars, x, noise_labels, class_labels)`` —
+the ``'DiT'`` encoder mode passes integer labels straight through
+(`diffusion/diffusion_classifier.py:71-74,90-92`), null token = index
+``num_classes``.
+
+TPU-first deltas (documented divergence, not an omission): diffusers embeds
+(timestep, label) separately inside EVERY block's AdaLayerNormZero; here the
+combined conditioning vector is computed ONCE (original DiT-paper design) and
+each block owns only its 6·D modulation projection — fewer params, same
+expressive structure, and one fewer gather per block on device. Positional
+information uses fixed 2D sin-cos embeddings, as in DiT.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.attention import attention
+from .layers import TimestepEmbedding, sinusoidal_embedding
+
+
+def get_2d_sincos_pos_embed(dim: int, grid: int) -> np.ndarray:
+    """Fixed 2D sin-cos positional embedding ``[grid*grid, dim]`` (DiT/MAE style)."""
+    assert dim % 4 == 0
+    quarter = dim // 4
+    omega = 1.0 / (10000 ** (np.arange(quarter, dtype=np.float64) / quarter))
+    pos = np.arange(grid, dtype=np.float64)
+    out = np.einsum("p,q->pq", pos, omega)  # [grid, dim/4]
+    emb_1d = np.concatenate([np.sin(out), np.cos(out)], axis=1)  # [grid, dim/2]
+    emb_h = np.repeat(emb_1d[:, None, :], grid, axis=1)  # [grid, grid, dim/2]
+    emb_w = np.repeat(emb_1d[None, :, :], grid, axis=0)
+    return np.concatenate([emb_h, emb_w], axis=-1).reshape(grid * grid, dim)
+
+
+@dataclasses.dataclass(frozen=True)
+class DiTConfig:
+    """Knobs mirroring `nets/dit.py:10-26` (diffusers DiTTransformer2DModel)."""
+
+    num_attention_heads: int = 16
+    attention_head_dim: int = 72
+    in_channels: int = 4
+    out_channels: Optional[int] = None
+    num_layers: int = 28
+    sample_size: int = 32
+    patch_size: int = 2
+    num_classes: int = 1000  # label table has num_classes + 1 rows (null token)
+    norm_eps: float = 1e-5
+    mlp_ratio: int = 4
+    attn_backend: str = "xla"
+
+    @property
+    def hidden_dim(self) -> int:
+        return self.num_attention_heads * self.attention_head_dim
+
+    @property
+    def out_ch(self) -> int:
+        return self.out_channels if self.out_channels is not None else self.in_channels
+
+
+def _modulate(x, shift, scale):
+    return x * (1.0 + scale[:, None, :]) + shift[:, None, :]
+
+
+class DiTBlock(nn.Module):
+    """AdaLN-zero transformer block: gated self-attention + gated GELU MLP."""
+
+    num_heads: int
+    head_dim: int
+    mlp_ratio: int = 4
+    dtype: jnp.dtype = jnp.float32
+    attn_backend: str = "xla"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, cond: jax.Array) -> jax.Array:
+        dim = self.num_heads * self.head_dim
+        mods = nn.Dense(6 * dim, dtype=self.dtype, name="adaLN_modulation")(
+            nn.silu(cond)
+        )
+        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(
+            mods, 6, axis=-1
+        )
+
+        h = nn.LayerNorm(
+            use_bias=False, use_scale=False, dtype=jnp.float32, name="norm1"
+        )(x).astype(self.dtype)
+        h = _modulate(h, shift_msa, scale_msa)
+        qkv = nn.Dense(3 * dim, dtype=self.dtype, name="qkv")(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        b, s, _ = q.shape
+        q = q.reshape(b, s, self.num_heads, self.head_dim)
+        k = k.reshape(b, s, self.num_heads, self.head_dim)
+        v = v.reshape(b, s, self.num_heads, self.head_dim)
+        o = attention(q, k, v, backend=self.attn_backend).reshape(b, s, dim)
+        o = nn.Dense(dim, dtype=self.dtype, name="proj")(o)
+        x = x + gate_msa[:, None, :] * o
+
+        h = nn.LayerNorm(
+            use_bias=False, use_scale=False, dtype=jnp.float32, name="norm2"
+        )(x).astype(self.dtype)
+        h = _modulate(h, shift_mlp, scale_mlp)
+        h = nn.Dense(self.mlp_ratio * dim, dtype=self.dtype, name="mlp_fc1")(h)
+        h = nn.gelu(h, approximate=True)  # 'gelu-approximate' (nets/dit.py:22)
+        h = nn.Dense(dim, dtype=self.dtype, name="mlp_fc2")(h)
+        return x + gate_mlp[:, None, :] * h
+
+
+class DiT(nn.Module):
+    """Class-conditional DiT; ``pred = net(z_t, logSNR_t, class_labels)``."""
+
+    config: DiTConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        noise_labels: jax.Array,
+        class_labels: Optional[jax.Array] = None,
+        *,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        cfg = self.config
+        d = cfg.hidden_dim
+        b, h, w, _ = x.shape
+        p = cfg.patch_size
+        assert h % p == 0 and w % p == 0, "image size must divide patch size"
+        gh, gw = h // p, w // p
+
+        # --- patchify + fixed pos embed ---
+        x = x.astype(self.dtype)
+        tokens = nn.Conv(
+            d, (p, p), strides=(p, p), dtype=self.dtype, name="patch_embed"
+        )(x).reshape(b, gh * gw, d)
+        pos = jnp.asarray(
+            get_2d_sincos_pos_embed(d, gh), dtype=self.dtype
+        )
+        tokens = tokens + pos[None]
+
+        # --- combined timestep + label conditioning (computed once) ---
+        noise_labels = jnp.broadcast_to(jnp.atleast_1d(noise_labels), (b,))
+        t_emb = sinusoidal_embedding(noise_labels, 256).astype(self.dtype)
+        cond = TimestepEmbedding(d, self.dtype, name="time_embedding")(t_emb)
+        if class_labels is None:
+            class_labels = jnp.full((b,), cfg.num_classes, jnp.int32)
+        y_emb = nn.Embed(
+            cfg.num_classes + 1, d, dtype=self.dtype, name="class_embedding"
+        )(class_labels.astype(jnp.int32))
+        cond = cond + y_emb
+
+        # --- transformer stack ---
+        for i in range(cfg.num_layers):
+            tokens = DiTBlock(
+                cfg.num_attention_heads,
+                cfg.attention_head_dim,
+                cfg.mlp_ratio,
+                self.dtype,
+                cfg.attn_backend,
+                name=f"block_{i}",
+            )(tokens, cond)
+
+        # --- AdaLN final layer + unpatchify ---
+        mods = nn.Dense(2 * d, dtype=self.dtype, name="final_modulation")(
+            nn.silu(cond)
+        )
+        shift, scale = jnp.split(mods, 2, axis=-1)
+        tokens = nn.LayerNorm(
+            use_bias=False, use_scale=False, dtype=jnp.float32, name="final_norm"
+        )(tokens).astype(self.dtype)
+        tokens = _modulate(tokens, shift, scale)
+        tokens = nn.Dense(
+            p * p * cfg.out_ch, dtype=self.dtype, name="final_proj"
+        )(tokens)
+
+        out = tokens.reshape(b, gh, gw, p, p, cfg.out_ch)
+        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, cfg.out_ch)
+        return out.astype(jnp.float32)

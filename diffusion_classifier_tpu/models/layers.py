@@ -1,0 +1,290 @@
+"""Shared Flax building blocks for the denoiser backbones (NHWC, TPU-native).
+
+These re-create, functionally, the diffusers blocks the reference adapters
+lean on (`nets/unet.py`, `nets/dit.py` wrap `diffusers` `UNet2DConditionModel`
+/ `DiTTransformer2DModel`) — resnet blocks, spatial transformer blocks,
+sinusoidal time embeddings, up/down sampling — but written TPU-first:
+
+- NHWC layout so convolutions tile directly onto the MXU;
+- norm statistics in float32 with bf16 compute elsewhere;
+- attention through :mod:`diffusion_classifier_tpu.ops.attention`.
+
+Parity notes (structure, not weights): GroupNorm(32, eps=1e-5) in resnets and
+eps=1e-6 before spatial transformers; SiLU activations; GEGLU feed-forward;
+time-embedding MLP of width 4·c0; per-head dim = channels // num_heads with
+diffusers' "attention_head_dim is actually num_heads" convention preserved by
+the UNet config.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import attention
+
+Dtype = jnp.dtype
+
+
+def sinusoidal_embedding(
+    timesteps: jax.Array,
+    dim: int,
+    *,
+    flip_sin_to_cos: bool = True,
+    freq_shift: float = 0.0,
+    max_period: float = 10000.0,
+) -> jax.Array:
+    """Sinusoidal position/time embedding of a ``[B]`` float vector → ``[B, dim]``.
+
+    Mirrors diffusers ``Timesteps`` (used by UNet2DConditionModel's
+    ``time_proj``): here the "timesteps" are continuous logSNR values, which
+    the reference feeds directly as ``noise_labels``
+    (`diffusion/diffusion_classifier.py:320-324`).
+    """
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - freq_shift)
+    emb = timesteps.astype(jnp.float32)[:, None] * jnp.exp(exponent)[None, :]
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    out = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        out = jnp.pad(out, ((0, 0), (0, 1)))
+    return out
+
+
+class TimestepEmbedding(nn.Module):
+    """Two-layer SiLU MLP lifting the sinusoidal embedding to ``time_embed_dim``."""
+
+    time_embed_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t_emb: jax.Array) -> jax.Array:
+        h = nn.Dense(self.time_embed_dim, dtype=self.dtype, name="linear_1")(t_emb)
+        h = nn.silu(h)
+        return nn.Dense(self.time_embed_dim, dtype=self.dtype, name="linear_2")(h)
+
+
+class GroupNormF32(nn.Module):
+    """GroupNorm computed in float32, result cast back to the input dtype."""
+
+    num_groups: int = 32
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        orig = x.dtype
+        y = nn.GroupNorm(
+            num_groups=self.num_groups, epsilon=self.eps, dtype=jnp.float32
+        )(x.astype(jnp.float32))
+        return y.astype(orig)
+
+
+class ResnetBlock2D(nn.Module):
+    """GN→SiLU→conv3x3, +time-emb, GN→SiLU→dropout→conv3x3, skip 1x1 on channel change.
+
+    Structure-parity with diffusers ``ResnetBlock2D`` (default
+    ``resnet_time_scale_shift='default'``, ``output_scale_factor=1``).
+    """
+
+    out_channels: int
+    dropout: float = 0.0
+    groups: int = 32
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, temb: jax.Array, *, deterministic: bool = True
+    ) -> jax.Array:
+        in_ch = x.shape[-1]
+        h = GroupNormF32(self.groups, self.eps, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(
+            self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1"
+        )(h)
+
+        t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
+            nn.silu(temb)
+        )
+        h = h + t[:, None, None, :]
+
+        h = GroupNormF32(self.groups, self.eps, name="norm2")(h)
+        h = nn.silu(h)
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Conv(
+            self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2"
+        )(h)
+
+        if in_ch != self.out_channels:
+            x = nn.Conv(
+                self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut"
+            )(x)
+        return x + h
+
+
+class MultiHeadAttention(nn.Module):
+    """QKV projection + scaled-dot-product attention + output projection.
+
+    Self-attention when ``context is None``; cross-attention otherwise (keys
+    and values from ``context``, e.g. projected class/text embeddings).
+    """
+
+    num_heads: int
+    head_dim: int
+    dtype: Dtype = jnp.float32
+    attn_backend: str = "xla"
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, context: Optional[jax.Array] = None
+    ) -> jax.Array:
+        inner = self.num_heads * self.head_dim
+        ctx = x if context is None else context
+        b, sq, _ = x.shape
+        sk = ctx.shape[1]
+
+        # Single-token context: softmax over one key is identically 1, so
+        # attention(q, k, v) == v — skip the QK path entirely (exact, and
+        # saves two projections + the attention matmuls per call; the common
+        # case here, since class conditioning is a one-token sequence). The
+        # reference computes the full QK product whose gradient is exactly
+        # zero in this case (torch softmax over one key is constant), so no
+        # learnable behavior is lost. Note: to_q/to_k params are then not
+        # created at all; a model initialized with one-token contexts cannot
+        # later be applied to multi-token contexts without re-init.
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        if context is not None and sk == 1:
+            o = jnp.broadcast_to(v, (b, sq, inner))
+        else:
+            q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+            k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+            qh = q.reshape(b, sq, self.num_heads, self.head_dim)
+            kh = k.reshape(b, sk, self.num_heads, self.head_dim)
+            vh = v.reshape(b, sk, self.num_heads, self.head_dim)
+            o = attention(qh, kh, vh, backend=self.attn_backend)
+            o = o.reshape(b, sq, inner)
+        return nn.Dense(inner, dtype=self.dtype, name="to_out")(o)
+
+
+class GEGLUFeedForward(nn.Module):
+    """GEGLU feed-forward: ``Linear(d, 8d) → split → x·gelu(gate) → Linear(4d, d)``."""
+
+    dim: int
+    mult: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        inner = self.dim * self.mult
+        h = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * nn.gelu(gate)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    """LayerNorm+self-attn, LayerNorm+cross-attn, LayerNorm+GEGLU FF (pre-norm residuals)."""
+
+    num_heads: int
+    head_dim: int
+    dtype: Dtype = jnp.float32
+    attn_backend: str = "xla"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, context: Optional[jax.Array]) -> jax.Array:
+        dim = x.shape[-1]
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        x = x + MultiHeadAttention(
+            self.num_heads, self.head_dim, self.dtype, self.attn_backend, name="attn1"
+        )(h.astype(self.dtype))
+        if context is not None:
+            attn2 = MultiHeadAttention(
+                self.num_heads,
+                self.head_dim,
+                self.dtype,
+                self.attn_backend,
+                name="attn2",
+            )
+            if context.shape[1] == 1:
+                # One context token: cross-attn output is to_out(to_v(ctx)),
+                # independent of x (see MultiHeadAttention) — the pre-attn
+                # LayerNorm would be dead compute with zero gradient, so it
+                # is skipped (and its params never created).
+                x = x + attn2(x, context)
+            else:
+                h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
+                x = x + attn2(h.astype(self.dtype), context)
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm3")(x)
+        x = x + GEGLUFeedForward(dim, dtype=self.dtype, name="ff")(
+            h.astype(self.dtype)
+        )
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """GN(eps 1e-6) → 1x1 proj_in → tokens → transformer blocks → 1x1 proj_out, residual.
+
+    The cross-attention carrier inside CrossAttn{Down,Up}Block2D / the mid
+    block (diffusers ``Transformer2DModel`` with conv projections).
+    """
+
+    num_heads: int
+    head_dim: int
+    depth: int = 1
+    groups: int = 32
+    dtype: Dtype = jnp.float32
+    attn_backend: str = "xla"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, context: Optional[jax.Array]) -> jax.Array:
+        b, hgt, wid, c = x.shape
+        residual = x
+        h = GroupNormF32(self.groups, 1e-6, name="norm")(x)
+        h = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(h)
+        h = h.reshape(b, hgt * wid, c)
+        for i in range(self.depth):
+            h = BasicTransformerBlock(
+                self.num_heads,
+                self.head_dim,
+                self.dtype,
+                self.attn_backend,
+                name=f"block_{i}",
+            )(h, context)
+        h = h.reshape(b, hgt, wid, c)
+        h = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(h)
+        return h + residual
+
+
+class Downsample2D(nn.Module):
+    """3x3 stride-2 conv downsampling (diffusers ``downsample_type='conv'``)."""
+
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.Conv(
+            self.out_channels, (3, 3), strides=2, padding=1, dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+class Upsample2D(nn.Module):
+    """Nearest-neighbor 2x upsample + 3x3 conv (diffusers ``upsample_type='conv'``)."""
+
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(
+            self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv"
+        )(x)

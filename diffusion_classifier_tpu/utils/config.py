@@ -1,0 +1,158 @@
+"""Typed, validated experiment configuration.
+
+The reference parses a JSON blob from the ``TRAINING_CONFIG`` /
+``INFERENCE_CONFIG`` env var into an object whose ``__getattr__`` silently
+returns ``None`` for missing keys (`experiments/cifar10/train.py:24-38`) —
+flagged in SURVEY §2.6 as a defect (silent config typos). Here the same JSON
+schema is ingested into a frozen dataclass that **rejects unknown keys** and
+validates cross-field invariants up front (the reference's scattered runtime
+asserts, `diffusion/diffusion_classifier.py:30,35,47,659-663`).
+
+The full key census (SURVEY §5.6) is reproduced as fields so any reference
+launcher JSON loads unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Optional, Sequence
+
+__all__ = ["ExperimentConfig", "load_config"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    # --- diffusion objective (reference :29-44) ---
+    pred_param: str = "v"  # 'v' | 'eps'
+    schedule: str = "shifted_cosine"  # 'cosine' | 'shifted_cosine'
+    noise_d: int = 64
+    image_size: int = 32
+    image_channels: int = 3
+    cfg_w: float = 0.1
+    # --- conditioning ---
+    encoder_type: Optional[str] = "nn"  # 'nn' | 'DiT' | 't5' | None
+    classes: int = 10
+    # --- EMA (ema_pytorch semantics, reference :51-56) ---
+    ema_beta: float = 0.9999
+    ema_warmup: int = 100
+    ema_update_freq: int = 10
+    # --- precision / accumulation ---
+    mixed_precision: str = "bf16"  # 'bf16' | 'no'
+    gradient_accumulation_steps: int = 1
+    # --- paths / run management ---
+    project_root: str = "."
+    experiment_dir: str = "runs/default"
+    resume: bool = False
+    checkpoint_folder: str = "checkpoints"
+    # --- tracking (comet-shaped; backend pluggable) ---
+    use_comet: bool = False
+    comet_api_key: Optional[str] = None
+    comet_project_name: Optional[str] = None
+    comet_workspace: Optional[str] = None
+    comet_experiment_name: Optional[str] = None
+    # --- training loop ---
+    num_epochs: int = 10
+    save_image_epochs: int = 1
+    eval_period: int = 1
+    evaluation_batches: int = 2
+    sampling_steps: int = 128
+    seed: int = 0
+    # --- data ---
+    data_path: str = "./data"
+    batch_size: int = 64
+    num_workers: int = 4
+    slices: Optional[int] = None
+    wavelet_transform: bool = False
+    # --- optimizer ---
+    learning_rate: float = 1e-4
+    lr_warmup_steps: int = 500
+    # --- classification protocol (reference :657-725) ---
+    classification: bool = True
+    fast_classification: bool = False
+    n_fast_classes: int = 2
+    n_stages: int = 1
+    evaluation_per_stage: Sequence[int] = (16,)  # cumulative
+    n_keep_per_stage: Sequence[int] = (1,)
+    # how many (class × eval) forwards to fuse into one device megabatch
+    classify_chunk: int = 0  # 0 = auto
+    # --- model extras ---
+    patch_size: int = 2  # DiT
+    variant: str = "resnet18"  # discriminative baseline
+    pretrained: bool = False
+    # --- runtime ---
+    slurm: bool = False
+    attn_backend: str = "xla"  # 'xla' | 'pallas'
+
+    @property
+    def experiment_path(self) -> str:
+        # Reference joins with f"{project_root}{experiment_dir}"
+        # (experiments/cifar10/train.py:35); normalized join here.
+        return os.path.join(self.project_root, self.experiment_dir)
+
+    def validate(self) -> "ExperimentConfig":
+        assert self.pred_param in ("v", "eps"), (
+            "Invalid prediction parameterization. Must be 'v' or 'eps'"
+        )
+        assert self.schedule in ("cosine", "shifted_cosine"), (
+            "Invalid schedule. Must be 'cosine' or 'shifted_cosine'"
+        )
+        assert self.mixed_precision in ("bf16", "no", "fp16")
+        ev = tuple(self.evaluation_per_stage)
+        nk = tuple(self.n_keep_per_stage)
+        assert len(ev) == self.n_stages, (
+            "Number of evaluations per stage must match the number of stages."
+        )
+        assert len(nk) == self.n_stages, (
+            "Number of classes to keep per stage must match the number of stages."
+        )
+        assert nk[-1] == 1, (
+            "Only one class should be selected at the end of the classification process."
+        )
+        assert all(a < b for a, b in zip(ev, ev[1:])), (
+            "evaluation_per_stage is cumulative and must be strictly increasing"
+        )
+        if self.fast_classification:
+            assert 2 <= self.n_fast_classes <= self.classes, (
+                "Number of fast classes must be at least 2 and at most `classes`."
+            )
+        return self
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "ExperimentConfig":
+        names = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(d) - names
+        if unknown:
+            raise ValueError(
+                f"Unknown config keys: {sorted(unknown)}. "
+                f"Valid keys: {sorted(names)}"
+            )
+        for seq_key in ("evaluation_per_stage", "n_keep_per_stage"):
+            if seq_key in d and d[seq_key] is not None:
+                d = {**d, seq_key: tuple(d[seq_key])}
+        return cls(**d).validate()
+
+    @classmethod
+    def from_env(cls, var: str = "TRAINING_CONFIG") -> "ExperimentConfig":
+        """Ingest the reference's env-var JSON path (`experiments/*/train.py:24-38`)."""
+        blob = os.environ.get(var)
+        if blob is None:
+            raise ValueError(f"{var} environment variable is not set")
+        return cls.from_dict(json.loads(blob))
+
+    def replace(self, **kw) -> "ExperimentConfig":
+        return dataclasses.replace(self, **kw).validate()
+
+    def to_json(self) -> str:
+        d = dataclasses.asdict(self)
+        d["evaluation_per_stage"] = list(d["evaluation_per_stage"])
+        d["n_keep_per_stage"] = list(d["n_keep_per_stage"])
+        return json.dumps(d, indent=2, sort_keys=True)
+
+
+def load_config(
+    var: str = "TRAINING_CONFIG", **overrides
+) -> ExperimentConfig:
+    cfg = ExperimentConfig.from_env(var)
+    return cfg.replace(**overrides) if overrides else cfg

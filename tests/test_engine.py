@@ -1,0 +1,149 @@
+"""End-to-end engine tests: tiny UNet + synthetic data on the 8-device CPU mesh.
+
+The "minimum end-to-end slice" of SURVEY §7: train a few epochs, loss drops,
+classification runs through the fused tournament, checkpoints round-trip.
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_classifier_tpu.data.synthetic import SyntheticDataLoader
+from diffusion_classifier_tpu.engine import DiffusionClassifier
+from diffusion_classifier_tpu.models import UNetCondition2D, UNetConfig
+from diffusion_classifier_tpu.utils.config import ExperimentConfig
+from diffusion_classifier_tpu.utils.metrics import Accuracy
+
+
+def tiny_setup(tmp_path, **cfg_overrides):
+    cfg = ExperimentConfig(
+        pred_param="v",
+        schedule="cosine",
+        noise_d=8,
+        image_size=8,
+        image_channels=1,
+        classes=2,
+        cfg_w=0.0,
+        ema_beta=0.99,
+        ema_warmup=0,
+        ema_update_freq=1,
+        mixed_precision="no",
+        num_epochs=2,
+        save_image_epochs=10,  # skip in-loop eval by default
+        evaluation_batches=1,
+        sampling_steps=4,
+        batch_size=16,
+        learning_rate=2e-3,
+        lr_warmup_steps=5,
+        n_stages=1,
+        evaluation_per_stage=(2,),
+        n_keep_per_stage=(1,),
+        project_root=str(tmp_path),
+        experiment_dir="run",
+        use_comet=False,
+    ).replace(**cfg_overrides)
+    backbone = UNetCondition2D(
+        UNetConfig(
+            sample_size=8,
+            in_channels=1,
+            out_channels=1,
+            block_out_channels=(16, 32),
+            down_block_types=("DownBlock2D", "CrossAttnDownBlock2D"),
+            up_block_types=("CrossAttnUpBlock2D", "UpBlock2D"),
+            layers_per_block=1,
+            attention_head_dim=2,
+            cross_attention_dim=16,
+            encoder_hid_dim=16,
+            encoder_hid_dim_type="text_proj",
+            norm_num_groups=8,
+        )
+    )
+    # the engine reads encoder_hid_dim off the backbone for the 'nn' encoder
+    backbone.encoder_hid_dim = 16
+    data = SyntheticDataLoader(
+        num_train=64,
+        num_val=32,
+        batch_size=16,
+        image_size=8,
+        channels=1,
+        classes=2,
+        seed=0,
+    )
+    return cfg, backbone, data
+
+
+def test_train_loop_end_to_end(tmp_path):
+    cfg, backbone, data = tiny_setup(tmp_path)
+    engine = DiffusionClassifier(backbone, cfg)
+    engine.train_loop(
+        data.get_train_loader(),
+        data.get_val_loader(),
+        metrics=[Accuracy("classification accuracy")],
+    )
+    assert engine.state is not None
+    assert int(engine.state.step) == 2 * len(data.get_train_loader())
+    # checkpoint written
+    ckpt = os.path.join(cfg.experiment_path, "checkpoints")
+    assert os.path.exists(os.path.join(ckpt, "experiment_state.json"))
+
+    # sample + classify run and have the right shapes
+    batch = next(iter(data.get_val_loader()))
+    preds = engine.classify(batch["images"], batch["prompt"])
+    assert preds.shape == (16,)
+    assert set(np.unique(np.asarray(preds))) <= {0, 1}
+    out = engine.sample(batch["images"], batch["prompt"])
+    assert out.shape == batch["images"].shape
+    assert float(jnp.abs(out).max()) <= 1.0 + 1e-6
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg, backbone, data = tiny_setup(tmp_path, num_epochs=1)
+    engine = DiffusionClassifier(backbone, cfg)
+    engine.train_loop(data.get_train_loader(), data.get_val_loader())
+    step_before = int(engine.state.step)
+    leaves_before = [np.asarray(x) for x in jax.tree.leaves(engine.state.params)]
+
+    cfg2, backbone2, _ = tiny_setup(tmp_path, num_epochs=1)
+    engine2 = DiffusionClassifier(backbone2, cfg2)
+    engine2.init_params(next(iter(data.get_val_loader())))
+    engine2._build_train_state(total_steps=10)
+    epoch, _, _ = engine2.load_checkpoint(
+        os.path.join(cfg.experiment_path, "checkpoints")
+    )
+    assert epoch == 1  # saved as epoch+1 (reference parity)
+    assert int(engine2.state.step) == step_before
+    leaves_after = [np.asarray(x) for x in jax.tree.leaves(engine2.state.params)]
+    for a, b in zip(leaves_before, leaves_after):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_resume_continues_epoch(tmp_path):
+    cfg, backbone, data = tiny_setup(tmp_path, num_epochs=1)
+    engine = DiffusionClassifier(backbone, cfg)
+    engine.train_loop(data.get_train_loader(), data.get_val_loader())
+
+    cfg2, backbone2, _ = tiny_setup(tmp_path, num_epochs=2, resume=True)
+    engine2 = DiffusionClassifier(backbone2, cfg2)
+    engine2.train_loop(data.get_train_loader(), data.get_val_loader())
+    # resumed from epoch 1 → one more epoch of steps on top of the first run
+    assert int(engine2.state.step) == 2 * len(data.get_train_loader())
+
+
+def test_loss_decreases_over_training(tmp_path, capsys):
+    cfg, backbone, data = tiny_setup(
+        tmp_path, num_epochs=4, use_comet=True
+    )
+    engine = DiffusionClassifier(backbone, cfg)
+    engine.train_loop(data.get_train_loader(), data.get_val_loader())
+    track_path = os.path.join(cfg.experiment_path, "track.jsonl")
+    losses = [
+        json.loads(l)["value"]
+        for l in open(track_path)
+        if json.loads(l).get("name") == "loss"
+    ]
+    assert len(losses) == 4
+    assert losses[-1] < losses[0]

@@ -1,0 +1,122 @@
+"""Wavelet exactness + flash-attention parity + DiT/ResNet shape tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_classifier_tpu.ops.wavelet import haar_dwt2, haar_idwt2
+
+
+def test_haar_roundtrip_exact():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 3))
+    y = haar_dwt2(x)
+    assert y.shape == (2, 8, 8, 12)
+    back = haar_idwt2(y)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-6)
+
+
+def test_haar_energy_preserved():
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 8, 1))
+    y = haar_dwt2(x)
+    np.testing.assert_allclose(
+        float(jnp.sum(x**2)), float(jnp.sum(y**2)), rtol=1e-5
+    )
+
+
+def test_haar_matches_pywt_reference_algorithm():
+    """Independent numpy re-derivation of pywt dwt2('haar') quadrant math."""
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((6, 4, 1)).astype(np.float32)
+    a, b = x[0::2, 0::2, 0], x[0::2, 1::2, 0]
+    c, d = x[1::2, 0::2, 0], x[1::2, 1::2, 0]
+    want = {
+        0: (a + b + c + d) / 2,
+        1: (a + b - c - d) / 2,
+        2: (a - b + c - d) / 2,
+        3: (a - b - c + d) / 2,
+    }
+    y = np.asarray(haar_dwt2(jnp.asarray(x)))
+    for k in range(4):
+        np.testing.assert_allclose(y[:, :, k], want[k], atol=1e-6)
+
+
+def test_haar_constant_image_concentrates_in_ca():
+    x = jnp.ones((4, 4, 2))
+    y = haar_dwt2(x)
+    ca = y[..., 0::4]
+    details = jnp.stack([y[..., 1::4], y[..., 2::4], y[..., 3::4]])
+    np.testing.assert_allclose(np.asarray(ca), 2.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(details), 0.0, atol=1e-6)
+
+
+def test_flash_attention_matches_xla():
+    from diffusion_classifier_tpu.ops.flash_attention import (
+        flash_attention,
+        supports,
+    )
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(k1, (2, 256, 4, 64))
+    k = jax.random.normal(k2, (2, 256, 4, 64))
+    v = jax.random.normal(k3, (2, 256, 4, 64))
+    assert supports(q, k, v)
+    got = flash_attention(q, k, v)
+    want = jax.nn.dot_product_attention(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-3
+    )
+
+
+def test_flash_attention_supports_gating():
+    from diffusion_classifier_tpu.ops.flash_attention import supports
+
+    q = jnp.zeros((1, 256, 2, 64))
+    assert supports(q, q, q)
+    q16 = jnp.zeros((1, 256, 2, 16))
+    assert not supports(q16, q16, q16)  # head dim too small
+    q100 = jnp.zeros((1, 100, 2, 64))
+    assert not supports(q100, q100, q100)  # seq not 128-aligned
+
+
+def test_dit_forward_shapes_and_conditioning():
+    from diffusion_classifier_tpu.models.dit import DiT, DiTConfig
+
+    cfg = DiTConfig(
+        num_attention_heads=2,
+        attention_head_dim=8,
+        in_channels=3,
+        num_layers=2,
+        sample_size=8,
+        patch_size=2,
+        num_classes=4,
+    )
+    net = DiT(cfg)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 8, 8, 3))
+    labels = jnp.array([0, 4])  # class 0 and null token
+    params = net.init(rng, x, jnp.zeros(2), labels)
+    out = net.apply(params, x, jnp.zeros(2), labels)
+    assert out.shape == x.shape and out.dtype == jnp.float32
+    out2 = net.apply(params, x, jnp.zeros(2), jnp.array([1, 4]))
+    assert float(jnp.abs(out - out2).max()) > 1e-6
+
+
+def test_resnet_feature_shapes():
+    from diffusion_classifier_tpu.models.resnet import ResNet2D
+
+    for variant, dim in [("resnet18", 512), ("resnet50", 2048)]:
+        net = ResNet2D(variant=variant, in_channels=1)
+        rng = jax.random.PRNGKey(0)
+        x = jnp.zeros((2, 32, 32, 1))
+        variables = net.init(rng, x, train=False)
+        out = net.apply(variables, x, train=False)
+        assert out.shape == (2, dim)
+
+
+def test_resnet_rejects_unknown_variant():
+    from diffusion_classifier_tpu.models.resnet import ResNet2D
+
+    net = ResNet2D(variant="resnet99")
+    with pytest.raises(ValueError, match="Unsupported ResNet variant"):
+        net.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False)

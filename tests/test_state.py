@@ -1,0 +1,118 @@
+"""EMA stepping, LR schedule, and train-step tests (tiny shapes, CPU)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from diffusion_classifier_tpu.engine.state import (
+    EmaConfig,
+    cosine_warmup_schedule,
+    ema_decay,
+    ema_update,
+    init_train_state,
+    make_optimizer,
+)
+from diffusion_classifier_tpu.engine.steps import make_loss_fn, make_train_step
+from diffusion_classifier_tpu.diffusion.schedule import make_schedule_fn
+
+
+def test_ema_decay_matches_ema_pytorch_formula():
+    cfg = EmaConfig(beta=0.999, update_after_step=5, update_every=1)
+    for c in [0, 3, 5, 6, 7, 20, 1000, 100000]:
+        got = float(ema_decay(jnp.asarray(c), cfg))
+        epoch = max(c - 5 - 1, 0)
+        want = 0.0 if epoch <= 0 else min(0.999, 1 - (1 + epoch) ** (-2 / 3))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
+def test_ema_warmup_copies_then_blends():
+    cfg = EmaConfig(beta=0.9, update_after_step=2, update_every=1)
+    params = {"w": jnp.array(1.0)}
+    ema = {"w": jnp.array(0.0)}
+    # counters 0..3: first three calls are copies (epoch <= 0 → decay 0)
+    for c in range(3):
+        ema = ema_update(ema, params, jnp.asarray(c), cfg)
+        assert float(ema["w"]) == 1.0
+    # counter 4 → epoch 1 → decay = 1 - 2^(-2/3)
+    ema = {"w": jnp.array(0.0)}
+    ema = ema_update(ema, params, jnp.asarray(4), cfg)
+    d = 1 - 2 ** (-2 / 3)
+    np.testing.assert_allclose(float(ema["w"]), 1 - d, rtol=1e-5)
+
+
+def test_ema_update_every_skips():
+    cfg = EmaConfig(beta=0.9, update_after_step=0, update_every=10)
+    params = {"w": jnp.array(1.0)}
+    ema = {"w": jnp.array(0.0)}
+    out = ema_update(ema, params, jnp.asarray(3), cfg)  # 3 % 10 != 0 → no-op
+    assert float(out["w"]) == 0.0
+    out = ema_update(ema, params, jnp.asarray(20), cfg)  # acts
+    assert float(out["w"]) > 0.0
+
+
+def test_cosine_warmup_schedule_hf_parity():
+    lr, warm, total = 2e-4, 100, 1000
+    sched = cosine_warmup_schedule(lr, warm, total)
+    # linear warmup
+    np.testing.assert_allclose(float(sched(50)), lr * 0.5, rtol=1e-6)
+    # end of warmup
+    np.testing.assert_allclose(float(sched(100)), lr, rtol=1e-6)
+    # mid-cosine
+    prog = (550 - warm) / (total - warm)
+    np.testing.assert_allclose(
+        float(sched(550)), lr * 0.5 * (1 + math.cos(math.pi * prog)), rtol=1e-5
+    )
+    # end
+    np.testing.assert_allclose(float(sched(1000)), 0.0, atol=1e-10)
+
+
+def _tiny_apply(params, z, logsnr, labels):
+    """Linear 'denoiser': pred = w * z + bias_per_label."""
+    return params["w"] * z + params["b"][labels][:, None, None, None]
+
+
+def test_train_step_decreases_loss():
+    sched = make_schedule_fn("cosine", 8, 8)
+    loss_fn = make_loss_fn(
+        _tiny_apply, sched, pred_param="eps", null_token=2, cfg_dropout=0.15
+    )
+    tx = make_optimizer(1e-2, 10, 200)
+    params = {"w": jnp.array(0.0), "b": jnp.zeros(3)}
+    state = init_train_state(params, tx)
+    step = make_train_step(
+        loss_fn, tx, EmaConfig(0.99, 0, 1), grad_accum_steps=1, donate=False
+    )
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 4, 4, 1))
+    labels = jnp.array([0, 1] * 4)
+    losses = []
+    for i in range(60):
+        rng, sub = jax.random.split(rng)
+        state, loss = step(state, x, labels, sub)
+        losses.append(float(loss))
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
+    assert int(state.step) == 60
+
+
+def test_grad_accum_runs_and_steps_once():
+    sched = make_schedule_fn("cosine", 8, 8)
+    loss_fn = make_loss_fn(
+        _tiny_apply, sched, pred_param="v", null_token=2, cfg_dropout=0.0
+    )
+    params = {"w": jnp.array(0.3), "b": jnp.zeros(3)}
+    tx = optax.sgd(1e-3)
+    state = init_train_state(params, tx)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 4, 4, 1))
+    labels = jnp.array([0, 1] * 4)
+    rng = jax.random.PRNGKey(7)
+
+    # 4 microbatches accumulate into exactly ONE optimizer/EMA step.
+    step4 = make_train_step(loss_fn, tx, EmaConfig(), grad_accum_steps=4, donate=False)
+    new_state, loss_acc = step4(state, x, labels, rng)
+    assert np.isfinite(float(loss_acc))
+    assert int(new_state.step) == 1
+    assert int(new_state.ema_counter) == 1
+    assert float(new_state.params["w"]) != float(state.params["w"])
