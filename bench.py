@@ -68,6 +68,10 @@ def main():
     schedule_fn = make_schedule_fn("shifted_cosine", 32, 32)
     apply_fn = lambda p, z, lg, lab: denoiser.apply(p, z, lg, lab)
 
+    encode_fn = lambda p, z, lg: denoiser.apply(p, z, lg, None, mode="encode")
+    tail_fn = lambda p, s, lab: denoiser.apply(
+        p, None, None, lab, mode="tail", prefix_state=s
+    )
     classify = make_classifier(
         apply_fn,
         schedule_fn,
@@ -76,6 +80,8 @@ def main():
         n_stages=1,
         evaluation_per_stage=(EVALS,),
         n_keep_per_stage=(1,),
+        encode_fn=encode_fn,
+        tail_fn=tail_fn,
     )
 
     def chained(fn, repeats):

@@ -61,11 +61,21 @@ def make_classifier(
     n_fast_classes: int = 2,
     eval_group: int = 0,
     megabatch_target: int = 512,
+    encode_fn: Callable = None,
+    tail_fn: Callable = None,
 ):
     """Build ``classify(params, x, labels, rng) -> predicted class ids [B]``.
 
     ``labels`` is consumed only in fast mode (oracle-assisted candidate
     subsetting, reference `:671-677`); pass zeros otherwise.
+
+    When ``encode_fn(params, z, logsnr) -> prefix_state`` and
+    ``tail_fn(params, prefix_state, labels) -> pred`` are provided (UNet
+    backbones), the conditioning-independent prefix runs ONCE per
+    (evaluation, image) and only the conditioned tail fans out across the K
+    candidate classes — the per-class cost drops by the prefix share of the
+    network. The reference recomputes the entire network per class
+    (`:695-704`).
     """
     ev = (0,) + tuple(evaluation_per_stage)
     keep = tuple(n_keep_per_stage)
@@ -76,7 +86,9 @@ def make_classifier(
     if fast:
         assert 2 <= n_fast_classes <= num_classes
 
-    def _score_stage(params, x, cand, err_sum, count, rng, n_evals, group):
+    def _score_stage(
+        params, x, cand, err_sum, count, rng, n_evals, group, identity=False
+    ):
         """Score `cand` [B,K] over `n_evals` evaluations, G at a time."""
         b = x.shape[0]
         k = cand.shape[1]
@@ -107,7 +119,18 @@ def make_classifier(
             ).reshape(-1)
             lab = jnp.broadcast_to(cand[None], (group, b, k)).reshape(-1)
 
-            pred = apply_fn(params, zz, lg, lab)
+            if encode_fn is not None and tail_fn is not None:
+                # Shared-prefix path: run the conditioning-independent prefix
+                # on [G·B] once, fan its state out across the K classes.
+                z_flat = z.reshape((group * b,) + x.shape[1:])
+                lg_flat = logsnr_t.reshape(group * b)
+                state = encode_fn(params, z_flat, lg_flat)
+                state_rep = jax.tree.map(
+                    lambda a: jnp.repeat(a, k, axis=0), state
+                )
+                pred = tail_fn(params, state_rep, lab)
+            else:
+                pred = apply_fn(params, zz, lg, lab)
             al, si = alpha_sigma(lg)
             eps_pred = pred_to_eps(pred, zz, al, si, pred_param)
             eps_rep = jnp.broadcast_to(
@@ -118,15 +141,23 @@ def make_classifier(
                 axis=img_axes,
             ).reshape(group, b, k)
 
-            # Scatter into dense [G, B, C] slots; duplicates in `cand` write
-            # the same value (matching the reference's same-slot writes).
-            dense = jnp.full((group, b, num_classes), jnp.inf, jnp.float32)
-            g_idx = jnp.arange(group)[:, None, None]
-            b_idx = jnp.arange(b)[None, :, None]
-            dense = dense.at[g_idx, b_idx, cand[None]].set(err)
-            scored = jnp.isfinite(dense)
-            err_sum = err_sum + jnp.where(scored, dense, 0.0).sum(axis=0)
-            count = count + scored.sum(axis=0)
+            if identity:
+                # cand[b] == arange(C) for every row (full-class stage before
+                # any pruning): the err slots are already class-aligned — no
+                # scatter needed.
+                err_sum = err_sum + err.sum(axis=0)
+                count = count + group
+            else:
+                # Scatter into dense [G, B, C] slots; duplicates in `cand`
+                # write the same value (matching the reference's same-slot
+                # writes).
+                dense = jnp.full((group, b, num_classes), jnp.inf, jnp.float32)
+                g_idx = jnp.arange(group)[:, None, None]
+                b_idx = jnp.arange(b)[None, :, None]
+                dense = dense.at[g_idx, b_idx, cand[None]].set(err)
+                scored = jnp.isfinite(dense)
+                err_sum = err_sum + jnp.where(scored, dense, 0.0).sum(axis=0)
+                count = count + scored.sum(axis=0)
             return (err_sum, count), None
 
         (err_sum, count), _ = jax.lax.scan(chunk_body, (err_sum, count), keys)
@@ -161,8 +192,10 @@ def make_classifier(
             group = eval_group or auto_eval_group(
                 n_evals, b, cand.shape[1], megabatch_target
             )
+            identity = (not fast) and i == 0 and cand.shape[1] == num_classes
             err_sum, count = _score_stage(
-                params, x, cand, err_sum, count, stage_rngs[i], n_evals, group
+                params, x, cand, err_sum, count, stage_rngs[i], n_evals, group,
+                identity=identity,
             )
             # Mean over ALL evals so far; classes missing any eval → +inf
             # (reference's mean-of-inf trick, `:669,719`).

@@ -40,12 +40,18 @@ def make_sampler(
     cfg_w: float,
     null_token: int,
     sampling_steps: int,
+    encode_fn: Callable = None,
+    tail_fn: Callable = None,
 ):
     """Build ``sample(params, x, labels, rng, from_t=1.0) -> x_pred``.
 
     ``apply_fn(params, z, logsnr, labels)`` is the (EMA) denoiser;
     ``x`` supplies shape/dtype and, when ``from_t < 1``, the image to
     re-noise. ``from_t`` is static (part of the compiled program).
+
+    With ``encode_fn``/``tail_fn`` (UNet prefix split), the CFG pair shares
+    one prefix evaluation per step: prefix on [B], conditioned tail on [2B] —
+    vs. the reference's two full forwards per step (`:254-266`).
     """
 
     def sample(params, x, labels, rng, from_t: float = 1.0):
@@ -65,9 +71,17 @@ def make_sampler(
         pair_labels = jnp.concatenate([labels, null_labels])
 
         def model_pair(z_t, logsnr_scalar):
-            zz = jnp.concatenate([z_t, z_t])
-            lg = jnp.full((2 * b,), logsnr_scalar, dtype=jnp.float32)
-            pred = apply_fn(params, zz, lg, pair_labels)
+            if encode_fn is not None and tail_fn is not None:
+                lg = jnp.full((b,), logsnr_scalar, dtype=jnp.float32)
+                state = encode_fn(params, z_t, lg)
+                state_pair = jax.tree.map(
+                    lambda a: jnp.concatenate([a, a]), state
+                )
+                pred = tail_fn(params, state_pair, pair_labels)
+            else:
+                zz = jnp.concatenate([z_t, z_t])
+                lg = jnp.full((2 * b,), logsnr_scalar, dtype=jnp.float32)
+                pred = apply_fn(params, zz, lg, pair_labels)
             return pred[:b], pred[b:]
 
         def body(carry, inputs):

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["Denoiser"]
+__all__ = ["Denoiser", "supports_prefix"]
 
 
 class Denoiser(nn.Module):
@@ -36,17 +36,39 @@ class Denoiser(nn.Module):
     @nn.compact
     def __call__(
         self,
-        z_t: jax.Array,
-        logsnr_t: jax.Array,
-        labels: jax.Array,
+        z_t: Optional[jax.Array],
+        logsnr_t: Optional[jax.Array],
+        labels: Optional[jax.Array],
         *,
         deterministic: bool = True,
+        mode: str = "full",
+        prefix_state=None,
     ) -> jax.Array:
-        if self.encoder is not None:
-            context = self.encoder(labels)
+        """Forward; ``mode`` mirrors the UNet's prefix/tail split.
+
+        - ``'full'``   — ordinary forward (all backbones).
+        - ``'encode'`` — conditioning-independent prefix; labels ignored.
+        - ``'tail'``   — conditioned remainder from ``prefix_state``.
+        Only backbones exposing the mode kwarg (UNetCondition2D) support
+        encode/tail; use :func:`supports_prefix` to check.
+        """
+        if mode == "encode":
             return self.backbone(
-                z_t, logsnr_t, context, deterministic=deterministic
+                z_t, logsnr_t, None, deterministic=deterministic, mode="encode"
             )
-        return self.backbone(
-            z_t, logsnr_t, labels, deterministic=deterministic
-        )
+        cond = self.encoder(labels) if self.encoder is not None else labels
+        if mode == "tail":
+            return self.backbone(
+                None,
+                None,
+                cond,
+                deterministic=deterministic,
+                mode="tail",
+                prefix_state=prefix_state,
+            )
+        return self.backbone(z_t, logsnr_t, cond, deterministic=deterministic)
+
+
+def supports_prefix(backbone) -> bool:
+    """True if the backbone exposes the encode/tail split with a nonempty prefix."""
+    return getattr(backbone, "prefix_split", 0) > 0

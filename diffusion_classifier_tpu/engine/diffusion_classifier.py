@@ -25,6 +25,7 @@ reference (`:255,262,700`).
 from __future__ import annotations
 
 import os
+import signal
 import sys
 import time
 from typing import Callable, Optional, Sequence
@@ -42,7 +43,7 @@ from ..parallel.mesh import make_mesh, replicated, shard_batch
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from ..utils.config import ExperimentConfig
 from ..utils.tracking import make_tracker
-from .denoiser import Denoiser
+from .denoiser import Denoiser, supports_prefix
 from .state import EmaConfig, init_train_state, make_optimizer
 from .steps import make_loss_fn, make_train_step
 
@@ -52,6 +53,8 @@ class DiffusionClassifier:
 
     def __init__(self, backbone, config: ExperimentConfig, *, mesh=None):
         self.config = config.validate()
+        if config.debug_nans:
+            jax.config.update("jax_debug_nans", True)
         self.compute_dtype = (
             jnp.bfloat16 if config.mixed_precision == "bf16" else jnp.float32
         )
@@ -78,6 +81,18 @@ class DiffusionClassifier:
         self._apply = lambda params, z, lg, lab: self.denoiser.apply(
             params, z, lg, lab
         )
+        # Prefix-split fns (UNet backbones): conditioning-independent compute
+        # runs once per noise draw in classify and once per CFG pair in
+        # sampling instead of per class/branch.
+        if supports_prefix(backbone):
+            self._encode = lambda params, z, lg: self.denoiser.apply(
+                params, z, lg, None, mode="encode"
+            )
+            self._tail = lambda params, state, lab: self.denoiser.apply(
+                params, None, None, lab, mode="tail", prefix_state=state
+            )
+        else:
+            self._encode = self._tail = None
         self._loss_fn = make_loss_fn(
             self._apply,
             self.schedule_fn,
@@ -91,6 +106,8 @@ class DiffusionClassifier:
             cfg_w=config.cfg_w,
             null_token=self.null_token,
             sampling_steps=config.sampling_steps,
+            encode_fn=self._encode,
+            tail_fn=self._tail,
         )
         self._classify_impl = make_classifier(
             self._apply,
@@ -103,6 +120,8 @@ class DiffusionClassifier:
             fast=config.fast_classification,
             n_fast_classes=config.n_fast_classes,
             eval_group=config.classify_chunk,
+            encode_fn=self._encode,
+            tail_fn=self._tail,
         )
         self._sample_jit = jax.jit(self._sample_impl, static_argnames=("from_t",))
         self._classify_jit = jax.jit(self._classify_impl)
@@ -277,8 +296,31 @@ class DiffusionClassifier:
         if self.is_main_process:
             print(cfg.to_json())
 
+        # Preemption safety (SURVEY §5.3): on SIGTERM/SIGINT, checkpoint the
+        # latest state before exiting so `resume` continues cleanly. The
+        # reference has no preemption handling (recovery is manual).
+        current_epoch = start_epoch
+        if cfg.save_on_signal and self.is_main_process:
+
+            def _save_and_exit(signum, frame):
+                print(f"Signal {signum}: saving preemption checkpoint...")
+                self.save_checkpoint(
+                    current_epoch - 1,
+                    tracker.get_key() if tracker is not None else None,
+                    checkpoint_tracker if checkpoint_metric else None,
+                )
+                raise SystemExit(128 + signum)
+
+            prev_handlers = {
+                sig: signal.signal(sig, _save_and_exit)
+                for sig in (signal.SIGTERM, signal.SIGINT)
+            }
+        else:
+            prev_handlers = {}
+
         loss = None
         for epoch in range(start_epoch, cfg.num_epochs):
+            current_epoch = epoch
             epoch_start = time.time()
             for batch in train_dataloader:
                 dev = self._prepare_batch(batch)
@@ -366,6 +408,9 @@ class DiffusionClassifier:
                         f"Val evaluation time: {time.time() - eval_start:.2f} s."
                     )
                 checkpoint_tracker["save_flag"] = False
+
+        for sig, handler in prev_handlers.items():
+            signal.signal(sig, handler)
 
     def inference(
         self,

@@ -97,49 +97,52 @@ class UNetConfig:
 
 
 class UNetCondition2D(nn.Module):
-    """Class/text-conditional UNet denoiser. ``pred = net(z_t, logSNR_t, cond)``."""
+    """Class/text-conditional UNet denoiser. ``pred = net(z_t, logSNR_t, cond)``.
+
+    Supports prefix/tail splitting for conditioning-independent compute
+    hoisting: the leading plain ``DownBlock2D`` levels (plus conv_in and the
+    time embedding) do not depend on the class condition, so classification
+    can run them ONCE per (image, noise draw) and fan the result out across
+    candidate classes, and CFG sampling can share them between the
+    conditional and unconditional branches:
+
+    - ``mode='encode'`` → returns ``(h, skips, temb)`` after the prefix;
+    - ``mode='tail'``   → consumes ``prefix_state`` and the condition, runs
+      the remaining down blocks, mid, up path and output head;
+    - ``mode='full'``   → the ordinary forward (tail ∘ encode, one program).
+
+    Parameters are shared across modes (module names are identical);
+    initialize with ``mode='full'``.
+    """
 
     config: UNetConfig
     dtype: jnp.dtype = jnp.float32
 
+    # conditioning-independent prefix = down levels before the first cross-attn
+    @property
+    def prefix_split(self) -> int:
+        types = tuple(self.config.down_block_types)
+        for i, t in enumerate(types):
+            if t == "CrossAttnDownBlock2D":
+                return i
+        return len(types)
+
     @nn.compact
     def __call__(
         self,
-        x: jax.Array,
-        noise_labels: jax.Array,
+        x: Optional[jax.Array],
+        noise_labels: Optional[jax.Array],
         encoder_hidden_states: Optional[jax.Array] = None,
         *,
         deterministic: bool = True,
-    ) -> jax.Array:
+        mode: str = "full",
+        prefix_state=None,
+    ):
+        assert mode in ("full", "encode", "tail")
         cfg = self.config
         chans = tuple(cfg.block_out_channels)
         time_embed_dim = chans[0] * 4
-
-        # --- time embedding (fp32 sinusoids of logSNR, then MLP) ---
-        noise_labels = jnp.broadcast_to(
-            jnp.atleast_1d(noise_labels), (x.shape[0],)
-        )
-        t_emb = sinusoidal_embedding(
-            noise_labels,
-            chans[0],
-            flip_sin_to_cos=cfg.flip_sin_to_cos,
-            freq_shift=cfg.freq_shift,
-        ).astype(self.dtype)
-        temb = TimestepEmbedding(time_embed_dim, self.dtype, name="time_embedding")(
-            t_emb
-        )
-
-        # --- encoder hidden states projection ('text_proj', nets/unet.py parity) ---
-        context = encoder_hidden_states
-        if context is not None:
-            context = context.astype(self.dtype)
-            if cfg.encoder_hid_dim_type == "text_proj":
-                context = nn.Dense(
-                    cfg.cross_attention_dim, dtype=self.dtype, name="encoder_hid_proj"
-                )(context)
-
-        x = x.astype(self.dtype)
-        h = nn.Conv(chans[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
+        split = self.prefix_split
 
         def resnet(out_ch, name):
             return ResnetBlock2D(
@@ -162,9 +165,7 @@ class UNetCondition2D(nn.Module):
                 name=name,
             )
 
-        # --- down path ---
-        skips = [h]
-        for i, block_type in enumerate(cfg.down_block_types):
+        def down_level(i, block_type, h, skips, temb, context):
             out_ch = chans[i]
             heads = cfg.heads_for(i)
             for j in range(cfg.layers_for(i)):
@@ -177,6 +178,49 @@ class UNetCondition2D(nn.Module):
             if i < len(chans) - 1:
                 h = Downsample2D(out_ch, self.dtype, name=f"down_{i}_downsample")(h)
                 skips.append(h)
+            return h
+
+        # --- prefix: time embedding, conv_in, plain down levels ---
+        if mode in ("full", "encode"):
+            noise_labels = jnp.broadcast_to(
+                jnp.atleast_1d(noise_labels), (x.shape[0],)
+            )
+            t_emb = sinusoidal_embedding(
+                noise_labels,
+                chans[0],
+                flip_sin_to_cos=cfg.flip_sin_to_cos,
+                freq_shift=cfg.freq_shift,
+            ).astype(self.dtype)
+            temb = TimestepEmbedding(
+                time_embed_dim, self.dtype, name="time_embedding"
+            )(t_emb)
+
+            x = x.astype(self.dtype)
+            h = nn.Conv(
+                chans[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in"
+            )(x)
+            skips = [h]
+            for i in range(split):
+                h = down_level(i, cfg.down_block_types[i], h, skips, temb, None)
+            if mode == "encode":
+                return h, tuple(skips), temb
+        else:
+            assert prefix_state is not None, "mode='tail' needs prefix_state"
+            h, skips, temb = prefix_state
+            skips = list(skips)
+
+        # --- conditioning projection ('text_proj', nets/unet.py parity) ---
+        context = encoder_hidden_states
+        if context is not None:
+            context = context.astype(self.dtype)
+            if cfg.encoder_hid_dim_type == "text_proj":
+                context = nn.Dense(
+                    cfg.cross_attention_dim, dtype=self.dtype, name="encoder_hid_proj"
+                )(context)
+
+        # --- remaining (conditioned) down levels ---
+        for i in range(split, len(cfg.down_block_types)):
+            h = down_level(i, cfg.down_block_types[i], h, skips, temb, context)
 
         # --- mid block ---
         if cfg.mid_block_type == "UNetMidBlock2DCrossAttn":

@@ -84,6 +84,11 @@ class ExperimentConfig:
     # --- runtime ---
     slurm: bool = False
     attn_backend: str = "xla"  # 'xla' | 'pallas'
+    # debug/observability (SURVEY §5.2: the reference has no sanitizers; JAX
+    # purity + these toggles are the TPU-native equivalent)
+    debug_nans: bool = False
+    # checkpoint on SIGTERM/SIGINT for preemption safety (SURVEY §5.3)
+    save_on_signal: bool = True
 
     @property
     def experiment_path(self) -> str:
