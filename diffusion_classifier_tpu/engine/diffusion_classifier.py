@@ -62,12 +62,25 @@ class DiffusionClassifier:
         self.schedule_fn = make_schedule_fn(
             config.schedule, config.noise_d, config.image_size
         )
+        t5_table = None
+        if config.encoder_type == "t5":
+            from ..models.encoders import build_t5_class_table
+
+            names = config.t5_class_names or [
+                str(i) for i in range(config.classes)
+            ]
+            t5_table = build_t5_class_table(
+                names,
+                model_path=config.t5_path,
+                max_length=config.t5_max_length,
+            )
         encoder, self.null_token = make_encoder(
             config.encoder_type,
             num_classes=config.classes,
             embedding_dim=getattr(backbone, "encoder_hid_dim", None)
             or getattr(getattr(backbone, "config", None), "encoder_hid_dim", None),
             dtype=self.compute_dtype,
+            t5_table=t5_table,
         )
         self.denoiser = Denoiser(backbone=backbone, encoder=encoder)
         self.mesh = mesh if mesh is not None else make_mesh()
@@ -217,6 +230,19 @@ class DiffusionClassifier:
         return self._classify_jit(
             self.state.ema_params, x, labels, self._next_rng()
         )
+
+    def encode_text_prompt(self, labels):
+        """Condition embeddings for integer labels (reference `:83-98` parity).
+
+        'nn'/'t5' → ``[B, 1|S, D]`` context tokens; 'DiT' → labels unchanged.
+        Uses the EMA parameters (the eval paths' weights).
+        """
+        labels = jnp.asarray(np.asarray(labels, np.int32))
+        if self.denoiser.encoder is None:
+            return labels
+        assert self.state is not None, "initialize/restore parameters first"
+        enc_params = self.state.ema_params["params"].get("encoder", {})
+        return self.denoiser.encoder.apply({"params": enc_params}, labels)
 
     def evaluate(
         self,

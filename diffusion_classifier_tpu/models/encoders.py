@@ -21,7 +21,13 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["ClassEmbedder", "null_token", "make_encoder"]
+__all__ = [
+    "ClassEmbedder",
+    "FrozenTableEncoder",
+    "build_t5_class_table",
+    "null_token",
+    "make_encoder",
+]
 
 
 def null_token(num_classes: int) -> int:
@@ -47,16 +53,79 @@ class ClassEmbedder(nn.Module):
         return emb[:, None, :]
 
 
+class FrozenTableEncoder(nn.Module):
+    """Constant (non-learnable) context table: labels → ``table[labels]``.
+
+    Carrier for the ``'t5'`` mode: per-class text embeddings are precomputed
+    ONCE by the frozen T5 encoder (:func:`build_t5_class_table`) and baked
+    into the jitted programs as a constant — the reference re-runs tokenizer
+    + T5 on every call (`diffusion/diffusion_classifier.py:93-98`), even
+    inside the classify hot loop (`:697-698`).
+    """
+
+    table: jax.Array  # [num_classes + 1, seq, dim]; last row = null condition
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, labels: jax.Array) -> jax.Array:
+        return jnp.asarray(self.table, self.dtype)[labels.astype(jnp.int32)]
+
+
+def _default_tokenize(texts, max_length: int, model_path: str):
+    from transformers import AutoTokenizer
+
+    tokenizer = AutoTokenizer.from_pretrained(model_path)
+    out = tokenizer(
+        list(texts),
+        return_tensors="np",
+        padding="max_length",
+        truncation=True,
+        max_length=max_length,
+    )
+    return out["input_ids"]
+
+
+def build_t5_class_table(
+    class_names,
+    *,
+    model=None,
+    model_path: str = "t5-base",
+    max_length: int = 8,
+    tokenize_fn=None,
+    null_text: str = "",
+) -> jax.Array:
+    """Precompute the ``[C+1, S, D]`` class-name embedding table with frozen T5.
+
+    ``model`` may be a ready ``FlaxT5EncoderModel`` (tests use a tiny random
+    one); otherwise it is loaded from ``model_path`` (a local directory in
+    zero-egress environments). ``tokenize_fn(texts, max_length) -> int ids``
+    overrides the HF tokenizer when its files are unavailable.
+    """
+    if model is None:
+        from transformers import FlaxT5EncoderModel
+
+        model = FlaxT5EncoderModel.from_pretrained(model_path)
+    texts = list(class_names) + [null_text]
+    if tokenize_fn is not None:
+        ids = tokenize_fn(texts, max_length)
+    else:
+        ids = _default_tokenize(texts, max_length, model_path)
+    hidden = model(input_ids=ids).last_hidden_state
+    return jnp.asarray(hidden)
+
+
 def make_encoder(
     encoder_type: Optional[str],
     *,
     num_classes: int,
     embedding_dim: Optional[int] = None,
     dtype: jnp.dtype = jnp.float32,
+    t5_table: Optional[jax.Array] = None,
 ):
     """Build the encoder module (or None for label passthrough / unconditional).
 
-    Returns ``(module_or_none, null_token_id)``.
+    Returns ``(module_or_none, null_token_id)``. For ``'t5'`` pass a
+    precomputed ``t5_table`` from :func:`build_t5_class_table`.
     """
     if encoder_type == "nn":
         assert embedding_dim is not None, "encoder_type='nn' needs embedding_dim"
@@ -67,9 +136,14 @@ def make_encoder(
     if encoder_type == "DiT":
         return None, null_token(num_classes)
     if encoder_type == "t5":
-        raise NotImplementedError(
-            "t5 text encoding is a parity hook; the reference's in-tree "
-            "experiments only use encoder_type in {'nn', 'DiT'} (SURVEY §2.2)."
+        assert t5_table is not None, (
+            "encoder_type='t5' needs a precomputed class-embedding table "
+            "(build_t5_class_table)"
+        )
+        assert t5_table.shape[0] == num_classes + 1
+        return (
+            FrozenTableEncoder(t5_table, dtype=dtype),
+            null_token(num_classes),
         )
     if encoder_type is None:
         return None, null_token(num_classes)

@@ -34,6 +34,11 @@ class ExperimentConfig:
     # --- conditioning ---
     encoder_type: Optional[str] = "nn"  # 'nn' | 'DiT' | 't5' | None
     classes: int = 10
+    # t5 text-conditioning (encoder_type='t5'): local model path + the class
+    # name strings to embed; defaults to stringified class indices
+    t5_path: str = "t5-base"
+    t5_class_names: Optional[Sequence[str]] = None
+    t5_max_length: int = 8
     # --- EMA (ema_pytorch semantics, reference :51-56) ---
     ema_beta: float = 0.9999
     ema_warmup: int = 100
