@@ -81,42 +81,48 @@ def make_chexpert_plotter(config):
 
 
 def make_ipmsa_plotter(config):
-    """FLAIR slab + lesion-overlay rendering (reference ipmsa/train.py:42-110).
+    """Center-slice FLAIR + thresholded green CT2F lesion overlay
+    (reference ipmsa/train.py:42-110 parity).
 
-    Samples are [B, H, W, C] where channels pack (FLAIR, CT2F) slabs —
-    channel 0 is rendered as the anatomical image and the last channel as a
-    red lesion-probability overlay. With wavelet_transform the sample is
-    IDWT'd first.
+    Samples are [B, H, W, 2·slices] packing (FLAIR slab ‖ CT2F slab)
+    channel-last; the center slice of each slab is rendered, with the lesion
+    overlay alpha-gated at 0.15 exactly as the reference. With
+    wavelet_transform the sample is IDWT'd on device first.
     """
+    alpha_threshold = 0.15
 
     def plotter(output_dir, batches, samples, epoch, process_idx):
         import matplotlib
 
         matplotlib.use("Agg")
+        import matplotlib.colors as mcolors
         import matplotlib.pyplot as plt
 
         import jax.numpy as jnp
 
         from ..ops.wavelet import haar_idwt2
 
+        green_cmap = mcolors.LinearSegmentedColormap.from_list(
+            "green_cmap", ["white", "green"]
+        )
         image_path = None
         for batch, sample in zip(batches, samples):
             prompts = np.asarray(batch["prompt"])
-            for j in range(1):
+            n_plot = min(2, len(prompts))  # reference plots 2 per batch
+            for j in range(n_plot):
                 item = np.asarray(sample[j])
                 if config.wavelet_transform:
                     item = np.asarray(haar_idwt2(jnp.asarray(item * 2.0)))
-                flair = _to_unit(item[..., 0])
-                lesion = _to_unit(item[..., -1])
+                slices = max(1, item.shape[-1] // 2)
+                offset = slices // 2
+                flair_pred = item[..., offset]
+                ct2f_pred = _to_unit(item[..., min(offset + slices, item.shape[-1] - 1)])
                 activity = "active" if prompts[j] else "inactive"
-                fig, axs = plt.subplots(1, 2, figsize=(10, 5))
-                axs[0].imshow(flair, cmap="gray")
-                axs[0].set_title("FLAIR (predicted)")
-                axs[1].imshow(flair, cmap="gray")
-                axs[1].imshow(lesion, cmap="Reds", alpha=0.5)
-                axs[1].set_title("Lesion overlay")
-                for ax in axs:
-                    ax.axis("off")
+                fig, axs = plt.subplots(1, 1, figsize=(5, 5))
+                alpha = (ct2f_pred > alpha_threshold).astype(np.float32)
+                axs.imshow(flair_pred, cmap="gray")
+                axs.imshow(ct2f_pred, cmap=green_cmap, alpha=alpha)
+                axs.axis("off")
                 fig.suptitle(f"Patient status: {activity}", fontsize=16)
                 plt.tight_layout()
                 patient_path = os.path.join(output_dir, activity)

@@ -147,3 +147,14 @@ def test_loss_decreases_over_training(tmp_path, capsys):
     ]
     assert len(losses) == 4
     assert losses[-1] < losses[0]
+
+
+def test_encode_text_prompt_parity_surface(tmp_path):
+    cfg, backbone, data = tiny_setup(tmp_path)
+    engine = DiffusionClassifier(backbone, cfg)
+    engine.init_params(next(iter(data.get_val_loader())))
+    engine._build_train_state(total_steps=10)
+    emb = engine.encode_text_prompt([0, 1, 2])  # class 2 == null token
+    assert emb.shape == (3, 1, 16)  # [B, 1 token, encoder_hid_dim]
+    # null token row differs from real classes
+    assert float(jnp.abs(emb[0] - emb[2]).max()) > 1e-6
