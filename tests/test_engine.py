@@ -158,3 +158,35 @@ def test_encode_text_prompt_parity_surface(tmp_path):
     assert emb.shape == (3, 1, 16)  # [B, 1 token, encoder_hid_dim]
     # null token row differs from real classes
     assert float(jnp.abs(emb[0] - emb[2]).max()) > 1e-6
+
+
+def test_engine_wavelet_transform_path(tmp_path):
+    """In-graph DWT: loader yields 8x8x1; denoiser sees 4x4x4 (reference
+    applies the transform per-item on the host instead)."""
+    cfg, _, data = tiny_setup(tmp_path, wavelet_transform=True, num_epochs=1)
+    backbone = UNetCondition2D(
+        UNetConfig(
+            sample_size=4,
+            in_channels=4,
+            out_channels=4,
+            block_out_channels=(16, 32),
+            down_block_types=("DownBlock2D", "CrossAttnDownBlock2D"),
+            up_block_types=("CrossAttnUpBlock2D", "UpBlock2D"),
+            layers_per_block=1,
+            attention_head_dim=2,
+            cross_attention_dim=16,
+            encoder_hid_dim=16,
+            encoder_hid_dim_type="text_proj",
+            norm_num_groups=4,
+        )
+    )
+    backbone.encoder_hid_dim = 16
+    engine = DiffusionClassifier(backbone, cfg)
+    engine.train_loop(data.get_train_loader(), data.get_val_loader())
+    batch = next(iter(data.get_val_loader()))
+    # classify consumes raw images; engine transforms in-graph
+    preds = engine.classify(batch["images"], batch["prompt"])
+    assert preds.shape == (16,)
+    # samples come back in wavelet space: [B, 4, 4, 4]
+    out = engine.sample(batch["images"], batch["prompt"])
+    assert out.shape == (16, 4, 4, 4)
