@@ -104,7 +104,12 @@ class Classifier:
 
         @jax.jit
         def predict(variables, x):
-            return jnp.argmax(model.apply(variables, x, train=False), axis=-1)
+            logits = model.apply(variables, x, train=False)
+            # top_k instead of argmax: argmax over these logits trips an XLA
+            # fusion-emitter CHECK (`window.pad_low == 0`) on this TPU
+            # backend; top_k lowers through sort and avoids the bad fusion.
+            _, idx = jax.lax.top_k(logits, 1)
+            return idx[:, 0]
 
         self._predict = predict
 

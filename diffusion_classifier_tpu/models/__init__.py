@@ -2,9 +2,10 @@ from .dit import DiT, DiTConfig
 from .encoders import ClassEmbedder, make_encoder, null_token
 from .presets import DIT_PRESETS, UNET_PRESETS, build_preset
 from .resnet import ResNet2D
-from .unet import UNetCondition2D, UNetConfig
+from .unet import UNet2D, UNetCondition2D, UNetConfig
 
 __all__ = [
+    "UNet2D",
     "UNetCondition2D",
     "UNetConfig",
     "DiT",

@@ -282,6 +282,32 @@ class BasicTransformerBlock(nn.Module):
         return x
 
 
+class AttentionBlock2D(nn.Module):
+    """Plain self-attention residual block: GN → QKV attention → proj, +residual.
+
+    The lean attention used by diffusers' ``AttnDownBlock2D``/``AttnUpBlock2D``
+    inside the unconditional ``UNet2DModel`` (reference `nets/unet.py:8-71`) —
+    no LayerNorm/FF/cross-attention, unlike :class:`SpatialTransformer`.
+    """
+
+    num_heads: int
+    head_dim: int
+    groups: int = 32
+    dtype: Dtype = jnp.float32
+    attn_backend: str = "xla"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, hgt, wid, c = x.shape
+        h = GroupNormF32(self.groups, 1e-5, name="group_norm")(x)
+        h = h.reshape(b, hgt * wid, c)
+        h = MultiHeadAttention(
+            self.num_heads, self.head_dim, self.dtype, self.attn_backend,
+            name="attention",
+        )(h)
+        return x + h.reshape(b, hgt, wid, c)
+
+
 class SpatialTransformer(nn.Module):
     """GN(eps 1e-6) → 1x1 proj_in → tokens → transformer blocks → 1x1 proj_out, residual.
 

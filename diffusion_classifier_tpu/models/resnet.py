@@ -124,7 +124,13 @@ class ResNet2D(nn.Module):
                 use_running_average=not train, dtype=jnp.float32, name="bn1"
             )(h)
         )
+        # torchvision k3/s2/p1 max pool. Optimization barriers stop XLA from
+        # fusing the padded reduce-window with neighbors — that fusion trips a
+        # compiler CHECK (`fusion_emitter: window.pad_low == 0`) on this TPU
+        # backend; barriers only affect scheduling, not values.
+        h = jax.lax.optimization_barrier(h)
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        h = jax.lax.optimization_barrier(h)
 
         for stage, num_blocks in enumerate(stages):
             channels = 64 * (2**stage)

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import (
+    AttentionBlock2D,
     Downsample2D,
     GroupNormF32,
     ResnetBlock2D,
@@ -37,8 +38,8 @@ from .layers import (
     sinusoidal_embedding,
 )
 
-DOWN_BLOCK_TYPES = ("DownBlock2D", "CrossAttnDownBlock2D")
-UP_BLOCK_TYPES = ("UpBlock2D", "CrossAttnUpBlock2D")
+DOWN_BLOCK_TYPES = ("DownBlock2D", "AttnDownBlock2D", "CrossAttnDownBlock2D")
+UP_BLOCK_TYPES = ("UpBlock2D", "AttnUpBlock2D", "CrossAttnUpBlock2D")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -165,6 +166,16 @@ class UNetCondition2D(nn.Module):
                 name=name,
             )
 
+        def self_attn(level_ch, heads, name):
+            return AttentionBlock2D(
+                num_heads=heads,
+                head_dim=level_ch // heads,
+                groups=cfg.norm_num_groups,
+                dtype=self.dtype,
+                attn_backend=cfg.attn_backend,
+                name=name,
+            )
+
         def down_level(i, block_type, h, skips, temb, context):
             out_ch = chans[i]
             heads = cfg.heads_for(i)
@@ -174,6 +185,8 @@ class UNetCondition2D(nn.Module):
                 )
                 if block_type == "CrossAttnDownBlock2D":
                     h = transformer(out_ch, heads, f"down_{i}_attn_{j}")(h, context)
+                elif block_type == "AttnDownBlock2D":
+                    h = self_attn(out_ch, heads, f"down_{i}_attn_{j}")(h)
                 skips.append(h)
             if i < len(chans) - 1:
                 h = Downsample2D(out_ch, self.dtype, name=f"down_{i}_downsample")(h)
@@ -229,6 +242,13 @@ class UNetCondition2D(nn.Module):
             h = resnet(mid_ch, "mid_res_0")(h, temb, deterministic=deterministic)
             h = transformer(mid_ch, heads, "mid_attn_0")(h, context)
             h = resnet(mid_ch, "mid_res_1")(h, temb, deterministic=deterministic)
+        elif cfg.mid_block_type == "UNetMidBlock2D":
+            # self-attention mid block (unconditional UNet2DModel parity)
+            mid_ch = chans[-1]
+            heads = cfg.heads_for(len(chans) - 1)
+            h = resnet(mid_ch, "mid_res_0")(h, temb, deterministic=deterministic)
+            h = self_attn(mid_ch, heads, "mid_attn_0")(h)
+            h = resnet(mid_ch, "mid_res_1")(h, temb, deterministic=deterministic)
         elif cfg.mid_block_type is not None:
             raise ValueError(f"unknown mid block {cfg.mid_block_type}")
 
@@ -246,6 +266,8 @@ class UNetCondition2D(nn.Module):
                 )
                 if block_type == "CrossAttnUpBlock2D":
                     h = transformer(out_ch, heads, f"up_{i}_attn_{j}")(h, context)
+                elif block_type == "AttnUpBlock2D":
+                    h = self_attn(out_ch, heads, f"up_{i}_attn_{j}")(h)
             if i < len(chans) - 1:
                 h = Upsample2D(out_ch, self.dtype, name=f"up_{i}_upsample")(h)
 
@@ -258,3 +280,51 @@ class UNetCondition2D(nn.Module):
             cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
         )(h)
         return h.astype(jnp.float32)
+
+
+def UNet2D(
+    sample_size: int = 32,
+    in_channels: int = 3,
+    out_channels: int = 3,
+    block_out_channels: Sequence[int] = (224, 448, 672, 896),
+    down_block_types: Sequence[str] = (
+        "DownBlock2D",
+        "AttnDownBlock2D",
+        "AttnDownBlock2D",
+        "AttnDownBlock2D",
+    ),
+    up_block_types: Sequence[str] = (
+        "AttnUpBlock2D",
+        "AttnUpBlock2D",
+        "AttnUpBlock2D",
+        "UpBlock2D",
+    ),
+    layers_per_block: int = 2,
+    attention_head_dim: int = 8,
+    norm_num_groups: int = 32,
+    dtype: jnp.dtype = jnp.float32,
+    **extra,
+) -> UNetCondition2D:
+    """Unconditional UNet (reference `nets/unet.py:8-71` surface parity).
+
+    Same defaults as diffusers ``UNet2DModel`` (self-attention down/up blocks,
+    self-attention mid block, no conditioning inputs); returns a
+    :class:`UNetCondition2D` configured without cross-attention — call it with
+    ``encoder_hidden_states=None``.
+    """
+    return UNetCondition2D(
+        UNetConfig(
+            sample_size=sample_size,
+            in_channels=in_channels,
+            out_channels=out_channels,
+            block_out_channels=tuple(block_out_channels),
+            down_block_types=tuple(down_block_types),
+            up_block_types=tuple(up_block_types),
+            mid_block_type="UNetMidBlock2D",
+            layers_per_block=layers_per_block,
+            attention_head_dim=attention_head_dim,
+            norm_num_groups=norm_num_groups,
+            **extra,
+        ),
+        dtype=dtype,
+    )

@@ -142,3 +142,26 @@ def test_cifar_arch_param_count_scale():
     # Hand-computed conv/attention math for this architecture lands ~90-100M
     # (the up path with skip-concat inputs dominates).
     assert 60e6 < n < 120e6, f"param count {n/1e6:.1f}M out of expected range"
+
+
+def test_unconditional_unet2d_with_self_attention():
+    """Reference UNet2D surface: Attn blocks + self-attn mid, no conditioning."""
+    from diffusion_classifier_tpu.models.unet import UNet2D
+
+    net = UNet2D(
+        sample_size=16,
+        block_out_channels=(16, 32),
+        down_block_types=("DownBlock2D", "AttnDownBlock2D"),
+        up_block_types=("AttnUpBlock2D", "UpBlock2D"),
+        layers_per_block=1,
+        attention_head_dim=2,
+        norm_num_groups=8,
+    )
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 16, 16, 3))
+    params = net.init(rng, x, jnp.zeros(2), None)
+    out = net.apply(params, x, jnp.zeros(2), None)
+    assert out.shape == x.shape
+    # self-attention params exist
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    assert any("attention" in str(p) for p, _ in flat)
