@@ -110,10 +110,15 @@ class Prefetcher:
         sentinel = object()
 
         def worker():
+            # A decode/IO failure must surface in the consumer, not silently
+            # truncate the epoch: ship the exception through the queue and
+            # re-raise it on the consuming thread.
             try:
                 for batch in self.loader:
                     q.put(batch)
-            finally:
+            except BaseException as e:  # noqa: BLE001 - relayed to consumer
+                q.put(e)
+            else:
                 q.put(sentinel)
 
         t = threading.Thread(target=worker, daemon=True)
@@ -122,4 +127,6 @@ class Prefetcher:
             item = q.get()
             if item is sentinel:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item

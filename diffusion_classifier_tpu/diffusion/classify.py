@@ -63,6 +63,7 @@ def make_classifier(
     megabatch_target: int = 512,
     encode_fn: Callable = None,
     tail_fn: Callable = None,
+    trace: bool = False,
 ):
     """Build ``classify(params, x, labels, rng) -> predicted class ids [B]``.
 
@@ -85,6 +86,17 @@ def make_classifier(
     )
     if fast:
         assert 2 <= n_fast_classes <= num_classes
+    if eval_group:
+        # A group that does not divide a stage's evaluation count would
+        # silently truncate the scan (count never reaches ev[i+1], every
+        # mean becomes +inf, and the tournament degenerates to class 0).
+        for i in range(n_stages):
+            n_evals = ev[i + 1] - ev[i]
+            if n_evals % eval_group != 0:
+                raise ValueError(
+                    f"eval_group={eval_group} does not divide stage {i}'s "
+                    f"evaluation count {n_evals}; use 0 for auto grouping"
+                )
 
     def _score_stage(
         params, x, cand, err_sum, count, rng, n_evals, group, identity=False
@@ -92,6 +104,7 @@ def make_classifier(
         """Score `cand` [B,K] over `n_evals` evaluations, G at a time."""
         b = x.shape[0]
         k = cand.shape[1]
+        assert n_evals % group == 0, (n_evals, group)
         n_chunks = n_evals // group
         keys = jax.random.split(rng, n_chunks)
 
@@ -186,6 +199,7 @@ def make_classifier(
         err_sum = jnp.zeros((b, num_classes), jnp.float32)
         count = jnp.zeros((b, num_classes), jnp.int32)
 
+        stages = []  # per-stage (mean, cand) when tracing
         stage_rngs = jax.random.split(rng, n_stages)
         for i in range(n_stages):
             n_evals = ev[i + 1] - ev[i]
@@ -204,7 +218,11 @@ def make_classifier(
             )
             _, keep_idx = jax.lax.top_k(-mean, keep[i])
             cand = keep_idx.astype(jnp.int32)  # [B, keep[i]]
+            if trace:
+                stages.append({"mean": mean, "cand": cand})
 
+        if trace:
+            return cand[:, 0], tuple(stages)
         return cand[:, 0]
 
     return classify

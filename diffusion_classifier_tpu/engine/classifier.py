@@ -186,7 +186,7 @@ class Classifier:
 
         start_epoch, experiment_key = 0, None
         if cfg.resume:
-            ckpt = os.path.join(cfg.experiment_path, "checkpoints")
+            ckpt = os.path.join(cfg.experiment_path, cfg.checkpoint_folder)
             if os.path.exists(ckpt):
                 start_epoch, _, experiment_key = self.load_checkpoint(ckpt)
             else:
@@ -244,7 +244,9 @@ class Classifier:
         cfg = self.config
         self.init_params(next(iter(val_dataloader)))
         self._build_train_step(total_steps=max(1, len(val_dataloader)))
-        self.load_checkpoint(os.path.join(cfg.experiment_path, "checkpoints"))
+        self.load_checkpoint(
+            os.path.join(cfg.experiment_path, cfg.checkpoint_folder)
+        )
         val_loss, val_metrics = self.evaluate(
             val_dataloader, stop_idx=cfg.evaluation_batches, metrics=metrics
         )

@@ -304,7 +304,7 @@ class DiffusionClassifier:
         checkpoint_tracker = {"value": 0.0, "save_flag": False}
         start_epoch, experiment_key = 0, None
         if cfg.resume:
-            ckpt = os.path.join(cfg.experiment_path, "checkpoints")
+            ckpt = os.path.join(cfg.experiment_path, cfg.checkpoint_folder)
             start_epoch, best, experiment_key = self.load_checkpoint(ckpt)
             checkpoint_tracker["value"] = best or 0.0
 
@@ -318,6 +318,11 @@ class DiffusionClassifier:
         if tracker is not None and not cfg.resume:
             tracker.log_other("Device", str(jax.devices()[0].device_kind))
             tracker.log_other("Python Version", sys.version)
+            # Snapshot the entry script into the tracker (reference logs
+            # train.py/train.sh as assets, `:413-414`).
+            entry_script = os.path.abspath(sys.argv[0]) if sys.argv else None
+            if entry_script and os.path.isfile(entry_script):
+                tracker.log_asset(entry_script, os.path.basename(entry_script))
 
         if self.is_main_process:
             print(cfg.to_json())

@@ -65,8 +65,13 @@ class UNetConfig:
     mid_block_type: Optional[str] = "UNetMidBlock2DCrossAttn"
     block_out_channels: Sequence[int] = (320, 640, 1280, 1280)
     layers_per_block: Union[int, Sequence[int]] = 2
-    # diffusers convention: this is the PER-BLOCK NUMBER OF HEADS.
+    # diffusers UNet2DConditionModel convention: this is the PER-BLOCK
+    # NUMBER OF HEADS (the quirk the reference's conditional experiments
+    # rely on). The unconditional UNet2DModel instead treats it as the
+    # per-head DIMENSION (heads = channels // dim) — set
+    # ``attention_head_dim_is_dim=True`` for that convention.
     attention_head_dim: Union[int, Sequence[int]] = 8
+    attention_head_dim_is_dim: bool = False
     cross_attention_dim: int = 1280
     transformer_layers_per_block: int = 1
     encoder_hid_dim: Optional[int] = None
@@ -92,9 +97,18 @@ class UNetConfig:
         return self.layers_per_block[i]
 
     def heads_for(self, i: int) -> int:
-        if isinstance(self.attention_head_dim, int):
-            return self.attention_head_dim
-        return self.attention_head_dim[i]
+        v = (
+            self.attention_head_dim
+            if isinstance(self.attention_head_dim, int)
+            else self.attention_head_dim[i]
+        )
+        if self.attention_head_dim_is_dim:
+            ch = self.block_out_channels[i]
+            assert ch % v == 0, (
+                f"attention_head_dim {v} must divide level channels {ch}"
+            )
+            return ch // v
+        return v
 
 
 class UNetCondition2D(nn.Module):
@@ -310,7 +324,10 @@ def UNet2D(
     Same defaults as diffusers ``UNet2DModel`` (self-attention down/up blocks,
     self-attention mid block, no conditioning inputs); returns a
     :class:`UNetCondition2D` configured without cross-attention — call it with
-    ``encoder_hidden_states=None``.
+    ``encoder_hidden_states=None``. ``attention_head_dim`` here follows the
+    UNet2DModel convention — it is the per-head DIMENSION (heads =
+    channels // attention_head_dim), unlike the conditional model's
+    heads-count quirk.
     """
     return UNetCondition2D(
         UNetConfig(
@@ -323,6 +340,7 @@ def UNet2D(
             mid_block_type="UNetMidBlock2D",
             layers_per_block=layers_per_block,
             attention_head_dim=attention_head_dim,
+            attention_head_dim_is_dim=True,
             norm_num_groups=norm_num_groups,
             **extra,
         ),

@@ -51,9 +51,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     o_ref[0] = o.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q",))
-def flash_attention(
-    q: jax.Array, k: jax.Array, v: jax.Array, block_q: int = _BLOCK_Q
+def _flash_attention_impl(
+    q: jax.Array, k: jax.Array, v: jax.Array, block_q: int
 ) -> jax.Array:
     """Non-causal attention over ``[B, S, H, D]``; returns ``q.dtype``."""
     b, s, h, d = q.shape
@@ -92,3 +91,31 @@ def flash_attention(
     )(qb, kb, vb)
 
     return out.reshape(b, h, s, d).transpose(0, 2, 1, 3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, block_q: int = _BLOCK_Q
+) -> jax.Array:
+    """Non-causal attention over ``[B, S, H, D]``; returns ``q.dtype``.
+
+    Differentiable: the forward runs the Pallas kernel; the backward
+    rematerializes through `jax.nn.dot_product_attention` (the same
+    function mathematically), so ``attn_backend="pallas"`` is safe in
+    training configs — `jax.grad` through a bare `pallas_call` would
+    otherwise fail.
+    """
+    return _flash_attention_impl(q, k, v, block_q)
+
+
+def _flash_attention_fwd(q, k, v, block_q):
+    return _flash_attention_impl(q, k, v, block_q), (q, k, v)
+
+
+def _flash_attention_bwd(block_q, residuals, g):
+    q, k, v = residuals
+    _, vjp = jax.vjp(jax.nn.dot_product_attention, q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)

@@ -30,18 +30,45 @@ _STATE = "state"
 
 
 def _atomic_save(checkpointer: ocp.StandardCheckpointer, directory: str, state):
+    """Crash-safe save of ``<directory>/state``.
+
+    POSIX cannot rename over a non-empty directory, so a directory swap is
+    necessarily two renames with a window where ``state`` is absent. Safety
+    comes from (a) cleaning stale ``.new``/``.old`` leftovers of an earlier
+    crash *before* writing (a leftover ``.old`` would make the swap's rename
+    raise), and (b) :func:`_resolve_state_dir` falling back to a fully
+    written ``.new`` (newer) or ``.old`` (previous) directory on restore, so
+    every crash point leaves a loadable checkpoint.
+    """
     final = os.path.join(directory, _STATE)
-    tmp = final + ".new"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
+    tmp, old = final + ".new", final + ".old"
+    for stale in (tmp, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
     checkpointer.save(tmp, state)
-    checkpointer.wait_until_finished()
-    old = final + ".old"
+    checkpointer.wait_until_finished()  # tmp is complete before any rename
     if os.path.exists(final):
         os.rename(final, old)
     os.rename(tmp, final)
     if os.path.exists(old):
         shutil.rmtree(old)
+
+
+def _resolve_state_dir(checkpoint_path: str) -> str:
+    """Pick the state directory, recovering from an interrupted swap.
+
+    Preference: ``state`` (normal) → ``state.new`` (crash between the two
+    swap renames; the new write was complete) → ``state.old`` (previous
+    checkpoint).
+    """
+    final = os.path.join(checkpoint_path, _STATE)
+    if os.path.exists(final):
+        return final
+    for suffix in (".new", ".old"):
+        candidate = final + suffix
+        if os.path.exists(candidate):
+            return candidate
+    return final  # let Orbax raise its not-found error
 
 
 def save_checkpoint(
@@ -67,8 +94,10 @@ def save_checkpoint(
     for directory in targets:
         os.makedirs(directory, exist_ok=True)
         _atomic_save(ckptr, directory, state)
-        with open(os.path.join(directory, _SIDECAR), "w") as f:
+        sidecar_path = os.path.join(directory, _SIDECAR)
+        with open(sidecar_path + ".new", "w") as f:
             json.dump(sidecar, f)
+        os.replace(sidecar_path + ".new", sidecar_path)
     return targets[0]
 
 
@@ -85,7 +114,24 @@ def load_checkpoint(
     restoring into live module/optimizer objects (`:769-805`).
     """
     ckptr = checkpointer or ocp.StandardCheckpointer()
-    state = ckptr.restore(os.path.join(checkpoint_path, _STATE), abstract_state)
+    try:
+        state = ckptr.restore(_resolve_state_dir(checkpoint_path), abstract_state)
+    except Exception as e:
+        # Cross-attention over a ONE-token context skips the q/k projections
+        # entirely (models/layers.py CrossAttention), so such checkpoints
+        # structurally lack to_q/to_k and cannot be loaded into a model
+        # built for multi-token (e.g. t5) contexts, and vice versa. Surface
+        # that instead of Orbax's raw pytree mismatch.
+        if "to_q" in str(e) or "to_k" in str(e):
+            raise ValueError(
+                "Checkpoint/model mismatch on cross-attention q/k "
+                "projections: models initialized with single-token contexts "
+                "(e.g. encoder_type='nn' class embeddings) do not create "
+                "to_q/to_k parameters and are structurally incompatible "
+                "with multi-token contexts (e.g. encoder_type='t5'). "
+                "Re-initialize and re-train with the target encoder type."
+            ) from e
+        raise
     epoch, best_metric, experiment_key = 0, None, None
     sidecar_path = os.path.join(checkpoint_path, _SIDECAR)
     if os.path.exists(sidecar_path):

@@ -66,8 +66,11 @@ class Metric:
         if jax.process_count() > 1:  # pragma: no cover - needs multi-host
             from jax.experimental import multihost_utils
 
+            # int32 explicitly: jnp.int64 silently downcasts to int32 under
+            # the default (disabled) x64 mode anyway; per-process example
+            # counts fit comfortably, and the summation below is host int64.
             gathered = multihost_utils.process_allgather(
-                {k: jnp.int64(v) for k, v in self.counters.items()}
+                {k: jnp.asarray(v, jnp.int32) for k, v in self.counters.items()}
             )
             self.counters = {k: np.int64(np.sum(v)) for k, v in gathered.items()}
 

@@ -54,7 +54,6 @@ def build_backbone(config: ExperimentConfig):
         ),
         dtype=dtype,
     )
-    backbone.encoder_hid_dim = 256
     return backbone
 
 

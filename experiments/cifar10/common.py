@@ -54,7 +54,6 @@ def build_backbone(config: ExperimentConfig):
         ),
         dtype=dtype,
     )
-    backbone.encoder_hid_dim = 128
     return backbone
 
 

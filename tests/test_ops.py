@@ -120,3 +120,29 @@ def test_resnet_rejects_unknown_variant():
     net = ResNet2D(variant="resnet99")
     with pytest.raises(ValueError, match="Unsupported ResNet variant"):
         net.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False)
+
+
+def test_flash_attention_grad_matches_xla():
+    """attn_backend='pallas' must be trainable: the custom VJP routes the
+    backward through jax.nn.dot_product_attention (same math)."""
+    import jax
+    import jax.numpy as jnp
+    from diffusion_classifier_tpu.ops.flash_attention import flash_attention
+
+    rng = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(rng, 3)
+    shape = (2, 128, 2, 32)
+    q = jax.random.normal(kq, shape)
+    k = jax.random.normal(kk, shape)
+    v = jax.random.normal(kv, shape)
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(flash_attention(q, k, v) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(jax.nn.dot_product_attention(q, k, v) ** 2)
+
+    g_p = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    g_x = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_p, g_x):
+        assert jnp.allclose(a, b, atol=2e-3), float(jnp.abs(a - b).max())

@@ -165,3 +165,22 @@ def test_unconditional_unet2d_with_self_attention():
     # self-attention params exist
     flat = jax.tree_util.tree_leaves_with_path(params)
     assert any("attention" in str(p) for p, _ in flat)
+
+
+def test_attention_head_dim_conventions():
+    """UNet2DConditionModel treats attention_head_dim as a HEADS count; the
+    unconditional UNet2DModel treats it as the per-head DIMENSION
+    (reference nets/unet.py:28 wraps the latter)."""
+    from diffusion_classifier_tpu.models.unet import UNet2D, UNetConfig
+
+    cond = UNetConfig(block_out_channels=(224, 448), attention_head_dim=8,
+                      down_block_types=("DownBlock2D", "CrossAttnDownBlock2D"),
+                      up_block_types=("CrossAttnUpBlock2D", "UpBlock2D"))
+    assert cond.heads_for(0) == 8 and cond.heads_for(1) == 8
+
+    uncond = UNet2D(block_out_channels=(224, 448),
+                    down_block_types=("DownBlock2D", "AttnDownBlock2D"),
+                    up_block_types=("AttnUpBlock2D", "UpBlock2D"),
+                    attention_head_dim=8)
+    assert uncond.config.heads_for(0) == 28  # 224 / 8
+    assert uncond.config.heads_for(1) == 56  # 448 / 8
