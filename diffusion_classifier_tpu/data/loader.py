@@ -9,6 +9,15 @@ the reference exactly: ``{"images": [B,H,W,C] float32, "prompt": [B] int32}``
 
 ``drop_last`` is always true: static shapes are a requirement for compiled
 TPU steps (SURVEY §7 "fixed shapes").
+
+Multi-host: ``batch_size`` is always the GLOBAL batch size. Under more than
+one process, every process computes the same epoch shuffle (loaders must be
+constructed with the same seed on all hosts — they are, from
+``config.seed``) and yields only its contiguous per-rank slice of each
+global batch — the reference's DDP per-rank sharding
+(``accelerate.prepare``, `diffusion/diffusion_classifier.py:382`).
+``parallel.mesh.shard_batch`` reassembles the global array from the local
+slices.
 """
 
 from __future__ import annotations
@@ -20,6 +29,22 @@ from typing import Callable, Iterator, Optional
 import numpy as np
 
 __all__ = ["ArrayDataLoader", "MapDataLoader", "Prefetcher"]
+
+
+def _process_slice(
+    batch_size: int, process_index: Optional[int], process_count: Optional[int]
+) -> slice:
+    """This process's contiguous row slice of a global batch."""
+    if process_count is None:
+        import jax
+
+        process_index = jax.process_index()
+        process_count = jax.process_count()
+    assert batch_size % process_count == 0, (
+        f"global batch {batch_size} not divisible by {process_count} processes"
+    )
+    local = batch_size // process_count
+    return slice(process_index * local, (process_index + 1) * local)
 
 
 class ArrayDataLoader:
@@ -34,6 +59,8 @@ class ArrayDataLoader:
         shuffle: bool = True,
         seed: int = 0,
         extra: Optional[dict] = None,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ):
         assert len(images) == len(labels)
         self.images = np.asarray(images, np.float32)
@@ -42,16 +69,18 @@ class ArrayDataLoader:
         self.shuffle = shuffle
         self.extra = extra or {}
         self._rng = np.random.default_rng(seed)
+        self._proc = (process_index, process_count)
 
     def __len__(self) -> int:
         return len(self.images) // self.batch_size
 
     def __iter__(self) -> Iterator[dict]:
+        rows = _process_slice(self.batch_size, *self._proc)
         order = np.arange(len(self.images))
         if self.shuffle:
             self._rng.shuffle(order)
         for i in range(len(self)):
-            idx = order[i * self.batch_size : (i + 1) * self.batch_size]
+            idx = order[i * self.batch_size : (i + 1) * self.batch_size][rows]
             batch = {"images": self.images[idx], "prompt": self.labels[idx]}
             for k, v in self.extra.items():
                 batch[k] = v[idx]
@@ -73,22 +102,27 @@ class MapDataLoader:
         *,
         shuffle: bool = True,
         seed: int = 0,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ):
         self.num_items = num_items
         self.load_fn = load_fn
         self.batch_size = batch_size
         self.shuffle = shuffle
         self._rng = np.random.default_rng(seed)
+        self._proc = (process_index, process_count)
 
     def __len__(self) -> int:
         return self.num_items // self.batch_size
 
     def __iter__(self) -> Iterator[dict]:
+        rows = _process_slice(self.batch_size, *self._proc)
         order = np.arange(self.num_items)
         if self.shuffle:
             self._rng.shuffle(order)
         for i in range(len(self)):
-            idx = order[i * self.batch_size : (i + 1) * self.batch_size]
+            # decode only this process's slice of the global batch
+            idx = order[i * self.batch_size : (i + 1) * self.batch_size][rows]
             items = [self.load_fn(j) for j in idx]
             images = np.stack([im for im, _ in items]).astype(np.float32)
             labels = np.asarray([lb for _, lb in items], np.int32)

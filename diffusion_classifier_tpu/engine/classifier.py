@@ -19,7 +19,7 @@ import numpy as np
 import optax
 from flax import linen as nn
 
-from ..parallel.mesh import make_mesh, replicated, shard_batch
+from ..parallel.mesh import local_rows, make_mesh, replicated, shard_batch
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from ..utils.config import ExperimentConfig
 from ..utils.tracking import make_tracker
@@ -168,7 +168,7 @@ class Classifier:
             total += b
             if metrics is not None:
                 for metric in metrics:
-                    metric.update((np.asarray(preds), batch))
+                    metric.update((local_rows(preds), batch))
             if stop_idx is not None and idx == stop_idx:
                 break
         return total_loss / max(total, 1), metrics

@@ -39,7 +39,7 @@ from ..diffusion.sampler import make_sampler
 from ..diffusion.schedule import make_schedule_fn
 from ..models.encoders import make_encoder
 from ..ops.wavelet import haar_dwt2
-from ..parallel.mesh import make_mesh, replicated, shard_batch
+from ..parallel.mesh import local_rows, make_mesh, replicated, shard_batch
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from ..utils.config import ExperimentConfig
 from ..utils.tracking import make_tracker
@@ -273,7 +273,8 @@ class DiffusionClassifier:
                     self._next_rng(),
                     from_t=float(from_t),
                 )
-            out = np.asarray(out)
+            # process-local rows: pairs with the loader's host-local batch
+            out = local_rows(out)
             if metrics is not None:
                 for metric in metrics:
                     metric.update((out, batch))

@@ -69,10 +69,29 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a pytree of host arrays with the leading axis over 'data'."""
-    return jax.tree.map(
-        lambda a: jax.device_put(a, batch_sharding(mesh, a.ndim)), batch
-    )
+    """Pytree of host arrays → global jax.Arrays, leading axis over 'data'.
+
+    Single-process: a plain sharded ``device_put``. Multi-process: each host
+    holds only its slice of the global batch (the loaders' per-process
+    sharding, reference DDP semantics via ``accelerate.prepare``,
+    `diffusion/diffusion_classifier.py:375-386`), and the global array is
+    assembled from the process-local shards — rows are laid out in process
+    order, matching the loaders' contiguous per-rank slices.
+    """
+    n = jax.process_count()
+    if n == 1:
+        return jax.tree.map(
+            lambda a: jax.device_put(a, batch_sharding(mesh, a.ndim)), batch
+        )
+
+    def put(a):  # pragma: no cover - needs a real multi-process run
+        a = np.asarray(a)
+        global_shape = (a.shape[0] * n,) + a.shape[1:]
+        return jax.make_array_from_process_local_data(
+            batch_sharding(mesh, a.ndim), a, global_shape
+        )
+
+    return jax.tree.map(put, batch)
 
 
 def host_local_batch_size(global_batch: int) -> int:
@@ -82,3 +101,21 @@ def host_local_batch_size(global_batch: int) -> int:
         f"global batch {global_batch} not divisible by {n} processes"
     )
     return global_batch // n
+
+
+def local_rows(arr) -> np.ndarray:
+    """Process-local rows of a 'data'-sharded global array, as numpy.
+
+    Single-process (fully addressable) arrays come back whole, so eval code
+    can pair model outputs with the host-local batch rows the loader
+    produced regardless of process count. Metric counters computed from
+    these local rows are then summed across processes by
+    ``Metric.sync_across_processes`` (allgather), mirroring the reference's
+    ``accelerator.reduce`` (`utils/metrics.py:56-58`).
+    """
+    if isinstance(arr, np.ndarray) or arr.is_fully_addressable:
+        return np.asarray(arr)
+    shards = sorted(  # pragma: no cover - needs a real multi-process run
+        arr.addressable_shards, key=lambda s: (s.index[0].start or 0)
+    )
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)

@@ -1,0 +1,128 @@
+"""Multi-host (multi-process) data-parallel semantics, simulated in-process.
+
+The reference shards each DataLoader per rank through ``accelerate.prepare``
+(`/root/reference/diffusion/diffusion_classifier.py:375-386`) and all-reduces
+metric counters (`/root/reference/utils/metrics.py:56-58`). Here the loaders
+take explicit ``(process_index, process_count)`` so N ranks can be simulated
+in one test process; the engine-side global-array assembly
+(`parallel.mesh.shard_batch` via ``make_array_from_process_local_data``) and
+metric allgather (`utils/metrics.Metric.sync_across_processes`) ride the same
+per-rank slices.
+"""
+
+import numpy as np
+import pytest
+
+from diffusion_classifier_tpu.data.loader import ArrayDataLoader, MapDataLoader
+from diffusion_classifier_tpu.parallel.mesh import host_local_batch_size
+from diffusion_classifier_tpu.utils.metrics import Accuracy, F1
+
+N, B, PROCS = 48, 8, 2
+
+
+def _make_data():
+    rng = np.random.default_rng(0)
+    images = rng.standard_normal((N, 4, 4, 1)).astype(np.float32)
+    labels = (np.arange(N) % 3).astype(np.int32)
+    return images, labels
+
+
+def _rank_loaders(images, labels, **kw):
+    return [
+        ArrayDataLoader(
+            images, labels, B, seed=7,
+            process_index=r, process_count=PROCS, **kw,
+        )
+        for r in range(PROCS)
+    ]
+
+
+def test_rank_slices_reassemble_the_global_batch():
+    """Concatenating the per-rank slices (in rank order) must reproduce the
+    single-process global batch exactly — same epoch shuffle, contiguous
+    per-rank rows (what shard_batch's process-order layout assumes)."""
+    images, labels = _make_data()
+    global_loader = ArrayDataLoader(images, labels, B, seed=7)
+    rank_loaders = _rank_loaders(images, labels)
+
+    for epoch in range(2):  # shuffle state must advance identically
+        for g_batch, *r_batches in zip(global_loader, *rank_loaders):
+            for key in ("images", "prompt"):
+                local = [rb[key] for rb in r_batches]
+                assert all(lb.shape[0] == B // PROCS for lb in local)
+                np.testing.assert_array_equal(
+                    np.concatenate(local, axis=0), g_batch[key]
+                )
+
+
+def test_rank_slices_are_disjoint_and_cover_the_epoch():
+    images, labels = _make_data()
+    # tag every image with a unique id in pixel [0,0,0] to track coverage
+    images = images.copy()
+    images[:, 0, 0, 0] = np.arange(N)
+    seen = [set() for _ in range(PROCS)]
+    for r, loader in enumerate(_rank_loaders(images, labels)):
+        for batch in loader:
+            seen[r].update(int(v) for v in batch["images"][:, 0, 0, 0])
+    assert not (seen[0] & seen[1])
+    n_used = (N // B) * B  # drop_last
+    assert len(seen[0] | seen[1]) == n_used
+
+
+def test_map_loader_decodes_only_local_rows():
+    decoded = [[] for _ in range(PROCS)]
+    loaders = [
+        MapDataLoader(
+            N,
+            lambda j, r=r: (decoded[r].append(j) or np.zeros((2, 2, 1)), j % 3),
+            B,
+            seed=3,
+            process_index=r,
+            process_count=PROCS,
+        )
+        for r in range(PROCS)
+    ]
+    for loader in loaders:
+        for _ in loader:
+            pass
+    assert len(decoded[0]) == len(decoded[1]) == (N // B) * (B // PROCS)
+    assert not (set(decoded[0]) & set(decoded[1]))
+
+
+def test_metric_allgather_equals_single_process():
+    """Per-rank metrics on per-rank slices, summed via the reducer seam, must
+    equal one metric over the full data (the accelerator.reduce contract)."""
+    rng = np.random.default_rng(1)
+    y_true = rng.integers(0, 2, size=64).astype(np.int32)
+    y_pred = rng.integers(0, 2, size=64).astype(np.int32)
+
+    for metric_cls in (Accuracy, F1):
+        whole = metric_cls("m")
+        whole.update((y_pred, {"prompt": y_true}))
+
+        ranks = [metric_cls("m") for _ in range(PROCS)]
+        for r, m in enumerate(ranks):
+            sl = slice(r * 32, (r + 1) * 32)
+            m.update((y_pred[sl], {"prompt": y_true[sl]}))
+
+        def sum_reducer(counters):
+            return {
+                k: sum(m.counters[k] for m in ranks) for k in counters
+            }
+
+        synced = ranks[0]
+        synced.sync_across_processes(reducer=sum_reducer)
+        assert synced.compute() == whole.compute()
+
+
+def test_batch_not_divisible_by_processes_rejected():
+    images, labels = _make_data()
+    loader = ArrayDataLoader(
+        images, labels, 9, process_index=0, process_count=2
+    )
+    with pytest.raises(AssertionError, match="not divisible"):
+        next(iter(loader))
+
+
+def test_host_local_batch_size_single_process():
+    assert host_local_batch_size(8) == 8
