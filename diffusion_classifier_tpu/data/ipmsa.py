@@ -81,89 +81,128 @@ trial_mapping = {
 inverse_trial_mapping = {0: "NE", 1: "ME", 2: "HE"}
 
 
-def get_leaf_val_from_dict(d: dict, keys):
-    if len(keys) > 1:
-        return get_leaf_val_from_dict(d[keys[0]], keys[1:])
-    if len(keys) == 1:
-        if isinstance(d[keys[0]], dict):
-            raise Exception("Not enough keys to reach leaf node")
-        return d[keys[0]]
-    raise Exception("Cannot have no keys")
+def _leaf(mapping: dict, key_path) -> object:
+    """Follow ``key_path`` through nested index dicts to a leaf value."""
+    if not key_path:
+        raise KeyError("empty channel key path in item_template")
+    node = mapping
+    for k in key_path:
+        node = node[k]
+    if isinstance(node, dict):
+        raise KeyError(
+            f"channel key path {list(key_path)} lands on an inner node"
+        )
+    return node
 
 
 def load_image(path: str) -> np.ndarray:
+    """Decode one volume: plain ``.npy`` or lz4-framed ``.npy.lz4``."""
     if path.endswith(".npy.lz4"):
         return load_npy_lz4(path)
     if path.endswith(".npy"):
         return np.load(path)
-    raise Exception("File extension not supported!")
+    raise ValueError(f"Unsupported volume format: {path!r} (.npy/.npy.lz4)")
 
 
-def glob_file(filepath_no_ext: str) -> str:
-    files = glob(f"{filepath_no_ext}*")
-    if len(files) == 0:
-        raise Exception(f"No file starting with {filepath_no_ext} was found")
-    if len(files) > 1:
-        raise Exception(
-            f"More than 1 file starting with {filepath_no_ext} was found"
+def _match_one(prefix: str) -> str:
+    """The single on-disk file whose name starts with ``prefix``.
+
+    The index stores extension-less relative paths; the real file may carry
+    ``.npy`` or ``.npy.lz4``, so resolution is a one-match glob.
+    """
+    matches = glob(f"{prefix}*")
+    if len(matches) != 1:
+        raise FileNotFoundError(
+            f"expected exactly one file matching {prefix}*, "
+            f"found {len(matches)}"
         )
-    return files[0]
+    return matches[0]
+
+
+def _trial_patient_ids(volume_path: str) -> dict:
+    """(trial_id, patient_id) from ABSOLUTE path components 3 and 4.
+
+    The blocklist format and the reference's id derivation both assume a
+    ``/<a>/<b>/<trial>/<patient>/...`` volume layout.
+    """
+    parts = volume_path.split("/")
+    return {"trial_id": parts[3], "patient_id": parts[4]}
 
 
 class IPMSADataset:
-    """Pickle-index dataset of multi-channel MRI volumes (reference `:67-243`)."""
+    """Pickle-index dataset of multi-channel MRI volumes (reference `:67-243`).
+
+    The index pickle holds ``dataset_dict`` (per-sample nested path dicts)
+    and ``item_template`` (output channel → key paths into a sample's dict).
+    All channel files are resolved to absolute paths ONCE at construction —
+    resolution doubles as startup validation (a missing/ambiguous file fails
+    fast here, not mid-epoch) — and ``__getitem__`` only decodes.
+    """
 
     def __init__(
         self,
-        VolumeLoaderPath: str,
+        index_path: str,
         slurm: bool = False,
         num_samples: Optional[int] = None,
         cache_dir: Optional[str] = None,
     ):
-        self.VolumeLoaderPath = VolumeLoaderPath
+        self.index_path = index_path
         self.cache_dir = cache_dir
 
-        with open(VolumeLoaderPath, "rb") as f:
-            dictionary = pickle.load(f)
+        with open(index_path, "rb") as f:
+            index = pickle.load(f)
+        self.dataset_dict = index["dataset_dict"]
+        self.item_template = index["item_template"]
 
+        # volume roots come from the environment: $TMPDIR on slurm nodes
+        # (data staged to local scratch), $DATA_PATH otherwise
         root = os.environ["TMPDIR"] if slurm else os.environ["DATA_PATH"]
+        if not os.path.isdir(root):
+            raise NotADirectoryError(f"volume root {root!r} does not exist")
         self.rootdir_dict = {"MRI_AND_LABEL": root, "CLINICAL": root}
 
-        self.dataset_dict = dictionary["dataset_dict"]
-        self.item_template = dictionary["item_template"]
-        self.sample_keys = list(self.dataset_dict.keys())
+        self.sample_keys = list(self.dataset_dict)
         if num_samples is not None:
             self.sample_keys = self.sample_keys[:num_samples]
 
         self.transform: Optional[Callable] = None
         if cache_dir:
             os.makedirs(cache_dir, exist_ok=True)
-        self._validate_inputs()
 
-    def _validate_inputs(self):
-        for rootdir in self.rootdir_dict.values():
-            assert os.path.isdir(rootdir), f"{rootdir} is not a valid directory"
-        for sample_dict in self.dataset_dict.values():
-            for key in sample_dict:
-                assert key in self.rootdir_dict, f"{key} not found in rootdir_dict"
-        for keys_for_ch_list in self.item_template.values():
-            for keys_for_ch in keys_for_ch_list:
-                assert len(keys_for_ch) > 0, "Cannot have empty keys"
-                assert keys_for_ch[0] in self.rootdir_dict
-        for sample_dict in self.dataset_dict.values():
-            for keys_for_ch_list in self.item_template.values():
-                for keys_for_ch in keys_for_ch_list:
-                    if keys_for_ch[0] == "CLINICAL":
-                        continue
-                    try:
-                        rel_path = get_leaf_val_from_dict(sample_dict, keys_for_ch)
-                        full_path = os.path.join(
-                            self.rootdir_dict[keys_for_ch[0]], rel_path
-                        )
-                        full_path = glob_file(full_path)
-                        assert os.path.isfile(full_path)
-                    except KeyError:
-                        pass  # missing channel for this sample: tolerated
+        self._manifest = {
+            key: self._resolve_sample(self.dataset_dict[key])
+            for key in self.sample_keys
+        }
+
+    def _resolve_sample(self, entry: dict) -> dict:
+        """One sample's ``item_key → [absolute file path, ...]`` manifest.
+
+        Clinical channels resolve to raw values instead of paths. A key path
+        absent from this sample's entry is tolerated (channel missing for
+        this sample); a present-but-unmatchable file is an error.
+        """
+        resolved = {}
+        for item_key, channel_key_paths in self.item_template.items():
+            if item_key in _CLINICAL_VALUES:
+                resolved[item_key] = [
+                    _leaf(entry, kp) for kp in channel_key_paths
+                ]
+                continue
+            paths = []
+            for key_path in channel_key_paths:
+                root = self.rootdir_dict.get(key_path[0])
+                if root is None:
+                    raise KeyError(
+                        f"item_template root {key_path[0]!r} has no "
+                        f"configured directory (have {list(self.rootdir_dict)})"
+                    )
+                try:
+                    rel = _leaf(entry, key_path)
+                except KeyError:
+                    continue
+                paths.append(_match_one(os.path.join(root, rel)))
+            resolved[item_key] = paths
+        return resolved
 
     def __len__(self):
         return len(self.sample_keys)
@@ -171,86 +210,78 @@ class IPMSADataset:
     def set_transform(self, transform: Callable):
         self.transform = transform
 
-    def _get_cache_path(self, idx):
-        if self.cache_dir:
-            return os.path.join(self.cache_dir, f"{self.sample_keys[idx]}.pkl")
-        return None
+    def resolved_paths(self, idx: int) -> dict:
+        """The resolved file manifest of sample ``idx``."""
+        return self._manifest[self.sample_keys[idx]]
 
-    def _load_vol(self, idx):
-        sample_dict = self.dataset_dict[self.sample_keys[idx]]
-        output, filepaths = {}, {}
-        for item_key, keys_for_ch_list in self.item_template.items():
-            if item_key in _CLINICAL_VALUES:
-                output[item_key] = [
-                    get_leaf_val_from_dict(sample_dict, keys_for_ch)
-                    for keys_for_ch in keys_for_ch_list
-                ]
-                filepaths[item_key] = None
-                continue
-            img_paths = []
-            for keys_for_ch in keys_for_ch_list:
-                try:
-                    rel_path = get_leaf_val_from_dict(sample_dict, keys_for_ch)
-                    full_path = os.path.join(
-                        self.rootdir_dict[keys_for_ch[0]], rel_path
-                    )
-                    img_paths.append(glob_file(full_path))
-                except KeyError:
-                    pass
-            output[item_key] = np.stack([load_image(p) for p in img_paths])
-            filepaths[item_key] = img_paths
-        return output, filepaths
+    def _cache_path(self, idx):
+        if not self.cache_dir:
+            return None
+        return os.path.join(self.cache_dir, f"{self.sample_keys[idx]}.pkl")
+
+    def _decode(self, idx: int) -> dict:
+        """Decode every channel of sample ``idx`` from its manifest."""
+        manifest = self._manifest[self.sample_keys[idx]]
+        return {
+            item_key: (
+                vals
+                if item_key in _CLINICAL_VALUES
+                else np.stack([load_image(p) for p in vals])
+            )
+            for item_key, vals in manifest.items()
+        }
+
+    def _sample_ids(self, idx: int) -> dict:
+        manifest = self._manifest[self.sample_keys[idx]]
+        first_channel = next(
+            v for k, v in manifest.items() if k not in _CLINICAL_VALUES
+        )
+        return _trial_patient_ids(first_channel[0])
 
     def __getitem__(self, idx):
-        cache_path = self._get_cache_path(idx)
+        cache_path = self._cache_path(idx)
         if cache_path and os.path.exists(cache_path):
             with open(cache_path, "rb") as f:
                 return pickle.load(f)
 
-        output, filepaths = self._load_vol(idx)
-        first_paths = filepaths[list(filepaths.keys())[0]]
-        idx_info = {
-            "trial_id": first_paths[0].split("/")[3],
-            "patient_id": first_paths[0].split("/")[4],
-        }
+        output = self._decode(idx)
+        if self.transform is None:
+            return output
 
-        if self.transform is not None:
-            preprocessed = self.transform({"output": output, "idx": idx_info})
-            if cache_path:
-                with open(cache_path, "wb") as f:
-                    pickle.dump(preprocessed, f)
-            return preprocessed
-        return output
+        preprocessed = self.transform(
+            {"output": output, "idx": self._sample_ids(idx)}
+        )
+        if cache_path:
+            with open(cache_path, "wb") as f:
+                pickle.dump(preprocessed, f)
+        return preprocessed
 
     def remove_condition(self, block_list: str, name: str = "filtered"):
-        """Drop blocklisted (trial, patient) samples and re-pickle (`:201-243`)."""
+        """Drop blocklisted (trial, patient) samples and re-pickle (`:201-243`).
+
+        Blocklist lines are ``<x>/<trial>/<patient>/...``; matching uses the
+        manifest resolved at init (no volume re-scan).
+        """
         with open(block_list) as f:
-            lines = [line.strip().split("/") for line in f]
-        blocked = [
-            {"trial_id": line[1], "patient_id": line[2]} for line in lines
-        ]
+            blocked = set()
+            for line in f:
+                parts = line.strip().split("/")
+                blocked.add((parts[1], parts[2]))
 
-        inactive = []
-        for idx in range(len(self)):
-            _, filepaths = self._load_vol(idx)
-            first_paths = filepaths[list(filepaths.keys())[0]]
-            info = {
-                "trial_id": first_paths[0].split("/")[3],
-                "patient_id": first_paths[0].split("/")[4],
-            }
-            if info in blocked:
+        keep = []
+        for idx, key in enumerate(self.sample_keys):
+            ids = self._sample_ids(idx)
+            if (ids["trial_id"], ids["patient_id"]) in blocked:
                 print(f"Sample {idx} is inactive")
-                inactive.append(idx)
+            else:
+                keep.append(key)
 
-        self.sample_keys = [
-            k for i, k in enumerate(self.sample_keys) if i not in inactive
-        ]
+        self.sample_keys = keep
+        kept = set(keep)
         self.dataset_dict = {
-            k: v
-            for i, (k, v) in enumerate(self.dataset_dict.items())
-            if i not in inactive
+            k: v for k, v in self.dataset_dict.items() if k in kept
         }
-        output_path = self.VolumeLoaderPath.replace(".pkl", f"_{name}.pkl")
+        output_path = self.index_path.replace(".pkl", f"_{name}.pkl")
         with open(output_path, "wb") as f:
             pickle.dump(
                 {

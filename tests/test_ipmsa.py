@@ -95,7 +95,7 @@ def test_load_image_lz4_and_plain(tmp_path):
     _write_vol(str(tmp_path / "b.npy.lz4"), arr)
     np.testing.assert_array_equal(load_image(str(tmp_path / "a.npy")), arr)
     np.testing.assert_array_equal(load_image(str(tmp_path / "b.npy.lz4")), arr)
-    with pytest.raises(Exception, match="not supported"):
+    with pytest.raises(ValueError, match="Unsupported"):
         load_image(str(tmp_path / "c.txt"))
 
 
@@ -118,7 +118,7 @@ def test_dataset_loads_and_caches(fake_index, tmp_path):
     item = ds[0]
     assert item["images"].shape == (2, 6, 5)  # 2 timepoints, center handled later
     # reference parity: trial_id is component 3 of the ABSOLUTE volume path
-    first_path = ds._load_vol(0)[1][MRIImageKeys.FLAIR][0]
+    first_path = ds.resolved_paths(0)[MRIImageKeys.FLAIR][0]
     assert item["trial"] == first_path.split("/")[3]
     # second access hits the pickle cache — transform not called again
     _ = ds[0]
@@ -130,7 +130,7 @@ def test_remove_condition_blocklist(fake_index, tmp_path):
     ds = IPMSADataset(fake_index)
     # block sample 0 using the (trial, patient) = path components (3, 4)
     # convention of the reference blocklist format
-    first_path = ds._load_vol(0)[1][MRIImageKeys.FLAIR][0]
+    first_path = ds.resolved_paths(0)[MRIImageKeys.FLAIR][0]
     parts = first_path.split("/")
     bl = tmp_path / "blocklist.txt"
     bl.write_text(f"w/{parts[3]}/{parts[4]}/whatever\n")
