@@ -1,32 +1,42 @@
-"""Fully-fused ResnetBlock2D forward as a single Pallas TPU kernel (EXPERIMENTAL).
+"""Fully-fused ResnetBlock2D forward as a single Pallas TPU kernel.
 
-Motivation: profiling (BASELINE.md) shows the UNet forward is
-HBM-bandwidth-bound — XLA cannot fuse across convolutions, so every
-GN → SiLU → conv → +temb → GN → SiLU → conv → +skip chain makes ~6 round
-trips through HBM. This kernel keeps one batch element's activations
-resident in VMEM for the whole block: convs as in-VMEM im2col + one
-``[HW, 9C] @ [9C, C]`` MXU matmul, GN statistics via VMEM reductions + a
-same-group channel-mask matmul (fp32), SiLU/temb/residual in-register.
+The UNet denoiser forward spends most of its time in
+GN → SiLU → conv3x3 → +temb → GN → SiLU → conv3x3 → +skip chains
+(diffusers ``ResnetBlock2D`` semantics; reference backbones delegate these to
+torch/cuDNN via diffusers — `nets/unet.py`). XLA cannot fuse across
+convolutions, so the chain makes several HBM round trips per block and the
+measured forward sits ~30% above the MXU floor (BASELINE.md). This kernel
+keeps a whole batch-tile's activations resident in VMEM for the entire block.
 
-**Status: correct but NOT wired into the model.** Measured on TPU v5e at the
-L0 shape (batch 320, 32²×128): this kernel 1.75 ms vs XLA's unfused chain
-1.04-1.42 ms — XLA's specialized conv emitters (halo-aware spatial tiling,
-weight-stationary streaming, DMA overlap) beat the naive in-VMEM im2col even
-though it saves HBM passes. Kept in-tree with tests as the starting point
-for a round-2 kernel with proper conv tiling; `supports()` gates the shapes
-it handles.
+Key design (v2 — the round-1 im2col kernel measured 1.75 ms vs XLA's
+1.04-1.42 ms at the L0 shape and was retired):
 
-Scope (v1): equal in/out channels, stride 1, no dropout; forward only (the
-intended use is the EMA eval paths, where autodiff is not needed). The
-time-embedding projection (``silu(temb) @ W + b``, tiny) is applied OUTSIDE.
-`resnet_block_ref` defines the exact semantics; the kernel is tested
-against it in interpret mode and on TPU.
+- **Contiguous-slab conv.** With 1-pixel zero padding, tap ``(dy, dx)`` of a
+  3×3 conv is the ``[bt, H·(W+2), C]`` slice of the flattened padded buffer
+  starting at flat offset ``dy·(W+2)+dx``: ``view[i, j] = padded[i+dy, j+dx]``
+  for every valid output column ``j < W``. The conv is therefore 9
+  relayout-free MXU matmuls ``[bt·H·(W+2), Cin] @ [Cin, Cout]`` accumulated
+  in fp32, at the cost of 2 junk columns per row (~6% extra MACs) that are
+  sliced away at the end — no im2col materialization, no strided-operand
+  copies.
+- **Batch-tiled grid.** ``bt`` samples per grid step (vs one in v1) so each
+  matmul's M dimension is thousands of rows; weights stay VMEM-resident
+  across the whole grid (constant index_map).
+- **MXU group-norm.** Per-(sample, group) statistics via a same-group
+  channel-mask matmul in fp32, exactly like ``GroupNormF32``.
+- Channel change (``Cin ≠ Cout``) and the 1×1 ``conv_shortcut`` are fused
+  in; the tiny time-embedding projection (``silu(temb) @ Wt + bt``) happens
+  OUTSIDE (it is [B, C]-shaped, negligible, and shared across pixels).
+
+Differentiable: the backward rematerializes through the pure-JAX
+``resnet_block_ref`` (identical math), so the kernel is safe under
+``jax.grad`` in training configs.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -35,18 +45,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["ResnetParams", "resnet_block_ref", "resnet_block_pallas", "supports"]
 
+_VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom out of ~16 MB/core
+
 
 class ResnetParams(NamedTuple):
-    """Flat parameter bundle for one fused block (all fp32)."""
+    """Flat parameter bundle for one fused block (all fp32, flax shapes)."""
 
-    scale1: jax.Array  # [C]
-    bias1: jax.Array  # [C]
-    w1: jax.Array  # [3, 3, C, C]
-    b1: jax.Array  # [C]
-    scale2: jax.Array  # [C]
-    bias2: jax.Array  # [C]
-    w2: jax.Array  # [3, 3, C, C]
-    b2: jax.Array  # [C]
+    scale1: jax.Array  # [Cin]
+    bias1: jax.Array  # [Cin]
+    w1: jax.Array  # [3, 3, Cin, Cout]
+    b1: jax.Array  # [Cout]
+    scale2: jax.Array  # [Cout]
+    bias2: jax.Array  # [Cout]
+    w2: jax.Array  # [3, 3, Cout, Cout]
+    b2: jax.Array  # [Cout]
+    ws: Optional[jax.Array] = None  # [Cin, Cout] 1x1 shortcut (None: identity)
+    bs: Optional[jax.Array] = None  # [Cout]
 
 
 def _group_norm(x, scale, bias, groups, eps):
@@ -66,13 +80,13 @@ def _group_norm(x, scale, bias, groups, eps):
 
 def resnet_block_ref(
     params: ResnetParams,
-    x: jax.Array,  # [B, H, W, C]
-    temb_proj: jax.Array,  # [B, C] — already silu(temb) @ Wt + bt
+    x: jax.Array,  # [B, H, W, Cin]
+    temb_proj: jax.Array,  # [B, Cout] — already silu(temb) @ Wt + bt
     *,
     groups: int = 32,
     eps: float = 1e-5,
 ) -> jax.Array:
-    """Pure-JAX semantics: per-sample GN → SiLU → conv → +temb → GN → SiLU → conv → +x."""
+    """Pure-JAX semantics: GN → SiLU → conv → +temb → GN → SiLU → conv → +skip."""
 
     def conv(h, w, b):
         out = jax.lax.conv_general_dilated(
@@ -92,143 +106,240 @@ def resnet_block_ref(
         h = _group_norm(h, params.scale2, params.bias2, groups, eps)
         h = jax.nn.silu(h)
         h = conv(h[None], params.w2, params.b2)[0]
-        return (xi.astype(jnp.float32) + h).astype(x.dtype)
+        skip = xi.astype(jnp.float32)
+        if params.ws is not None:
+            skip = skip @ params.ws + params.bs
+        return (skip + h).astype(x.dtype)
 
-    # per-sample GN (matches the block semantics; batch is independent)
     return jax.vmap(per_sample)(x, temb_proj)
 
 
+def _tile_batch(b: int, h: int, w: int, cin: int, cout: int) -> int:
+    """Largest divisor of ``b`` whose working set fits the VMEM budget."""
+    hw2 = h * (w + 2)
+    pad = (h + 3) * (w + 2)
+
+    def bytes_for(bt):
+        return (
+            bt * h * w * cin * 2  # x tile (bf16)
+            + bt * pad * max(cin, cout) * 2  # padded scratch (bf16)
+            + bt * hw2 * cout * 4  # fp32 conv accumulator
+            + bt * h * w * cout * 2  # intermediate/output
+            + 9 * (cin + cout) * cout * 2  # weights
+        )
+
+    best = 1
+    for bt in range(1, b + 1):
+        if b % bt == 0 and bytes_for(bt) <= _VMEM_BUDGET:
+            best = bt
+    return best
+
+
 def supports(x: jax.Array, in_ch: int, out_ch: int, stride: int, dropout: float) -> bool:
-    if in_ch != out_ch or stride != 1 or dropout > 0.0:
+    """Shapes this kernel handles: stride 1, no dropout, 128-multiple channels."""
+    if stride != 1 or dropout > 0.0:
         return False
-    b, h, w, c = x.shape
-    if c % 128 != 0:
+    b, h, w, _ = x.shape
+    if in_ch % 128 != 0 or out_ch % 128 != 0:
         return False
-    # padded activations + two fp32 accumulators must fit VMEM comfortably
-    vmem = (h + 2) * (w + 2) * c * 2 + 2 * h * w * c * 4
-    return vmem <= 6 * 1024 * 1024
+    # one sample must fit the VMEM budget
+    return _tile_batch(b, h, w, in_ch, out_ch) >= 1 and (
+        (h + 2) * (w + 2) * max(in_ch, out_ch) * 2 <= _VMEM_BUDGET // 3
+    )
 
 
 def _kernel(
-    x_ref,  # [1, H, W, C]
-    temb_ref,  # [B, C] (full array; row selected by program_id)
-    scale1_ref, bias1_ref,  # [1, C]
-    w1_ref,  # [9C, C]
-    b1_ref,  # [1, C]
-    scale2_ref, bias2_ref,  # [1, C]
-    w2_ref,  # [9C, C]
-    b2_ref,  # [1, C]
-    o_ref,  # [1, H, W, C]
+    x_ref,  # [bt, H, W, Cin]
+    temb_ref,  # [bt, Cout]
+    scale1_ref, bias1_ref,  # [1, Cin] f32
+    w1_ref,  # [9, Cin, Cout] bf16
+    b1_ref,  # [1, Cout] f32
+    scale2_ref, bias2_ref,  # [1, Cout] f32
+    w2_ref,  # [9, Cout, Cout] bf16
+    b2_ref,  # [1, Cout] f32
+    ws_ref,  # [Cin, Cout] bf16 or None
+    bs_ref,  # [1, Cout] f32 or None
+    o_ref,  # [bt, H, W, Cout]
+    pad_ref,  # VMEM scratch [bt, H+2, W+2, Cmax] bf16
     *,
     H: int,
     W: int,
-    C: int,
     groups: int,
     eps: float,
 ):
-    cg = C // groups
+    bt, _, _, cin = x_ref.shape
+    cout = o_ref.shape[-1]
     hw = H * W
+    wp = W + 2
 
-    # same-group channel mask [C, C] for group-stat broadcast via MXU
-    ci = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0) // cg
-    cj = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1) // cg
-    gmask = (ci == cj).astype(jnp.float32)
-
-    def gn_silu(h_flat, scale, bias):
-        # h_flat: [HW, C] fp32 → group-normalized + SiLU → bf16
-        s = jnp.sum(h_flat, axis=0, keepdims=True)  # [1, C]
-        ss = jnp.sum(h_flat * h_flat, axis=0, keepdims=True)
+    def gn_silu(h, c, scale, bias):
+        # h: [bt, HW, c] f32 → per-(sample, group) stats → SiLU → bf16
+        cg = c // groups
+        ci = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0) // cg
+        cj = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1) // cg
+        gmask = (ci == cj).astype(jnp.float32)
+        s = jnp.sum(h, axis=1)  # [bt, c]
+        ss = jnp.sum(h * h, axis=1)
         cnt = hw * cg
         mean_c = jnp.dot(s, gmask, preferred_element_type=jnp.float32) / cnt
         ex2_c = jnp.dot(ss, gmask, preferred_element_type=jnp.float32) / cnt
         var_c = jnp.maximum(ex2_c - mean_c * mean_c, 0.0)
         inv_c = jax.lax.rsqrt(var_c + eps)
-        y = (h_flat - mean_c) * inv_c * scale + bias
+        y = (h - mean_c[:, None, :]) * inv_c[:, None, :] * scale + bias
         return (y * jax.nn.sigmoid(y)).astype(jnp.bfloat16)
 
-    def conv3x3(h_bf_hwc, w_flat, bias):
-        # h_bf_hwc: [H, W, C] bf16; im2col in VMEM → ONE [HW, 9C]@[9C, C]
-        # MXU matmul (K = 9·C keeps the systolic array streaming).
-        padded = jnp.pad(h_bf_hwc, ((1, 1), (1, 1), (0, 0)))
-        cols = jnp.concatenate(
-            [
-                padded[k // 3 : k // 3 + H, k % 3 : k % 3 + W, :].reshape(hw, C)
-                for k in range(9)
-            ],
-            axis=1,
-        )  # [HW, 9C] bf16
-        acc = jnp.dot(cols, w_flat, preferred_element_type=jnp.float32)
-        return acc + bias
+    def conv3x3(h_bf, c, w_taps, bias):
+        # h_bf: [bt, H, W, c] bf16. Write into the zeroed pad scratch, then
+        # read back the whole padded slab ONCE and take 9 contiguous flat
+        # slices — tap (dy, dx) starts at flat offset dy·(W+2)+dx and its
+        # [H·(W+2)] window satisfies view[i, j] = padded[i+dy, j+dx] for
+        # j < W; columns W, W+1 of the accumulator are junk and dropped.
+        # scratch has H+3 rows: the last tap's contiguous window runs 2
+        # elements past the (H+2)-row padded image; the overrun reads only
+        # feed junk output columns (j >= W), so an extra zero row suffices.
+        pad_ref[:, :, :, :c] = jnp.zeros((bt, H + 3, wp, c), jnp.bfloat16)
+        pad_ref[:, 1 : H + 1, 1 : W + 1, :c] = h_bf
+        slab = pad_ref[:, :, :, :c].reshape(bt, (H + 3) * wp, c)
+        rows = H * wp  # per-sample tap window
+        acc = jnp.zeros((bt * rows, cout), jnp.float32)
+        for k in range(9):
+            off = (k // 3) * wp + (k % 3)  # static per tap
+            tap = slab[:, off : off + rows, :].reshape(bt * rows, c)
+            acc = acc + jnp.dot(
+                tap, w_taps[k], preferred_element_type=jnp.float32
+            )
+        out = acc.reshape(bt, H, wp, cout)[:, :, :W, :]  # drop junk columns
+        return out + bias
 
-    x_bf = x_ref[0]  # [H, W, C] compute dtype
-    x_flat32 = x_bf.reshape(hw, C).astype(jnp.float32)
+    x = x_ref[...]  # [bt, H, W, Cin]
+    xf = x.reshape(bt, hw, cin).astype(jnp.float32)
 
-    h = gn_silu(x_flat32, scale1_ref[...], bias1_ref[...])
-    h = conv3x3(h.reshape(H, W, C), w1_ref[...], b1_ref[...])
-    h = h + temb_ref[pl.ds(pl.program_id(0), 1), :]  # [1, C] row broadcast
-    h = gn_silu(h, scale2_ref[...], bias2_ref[...])
-    h = conv3x3(h.reshape(H, W, C), w2_ref[...], b2_ref[...])
+    h = gn_silu(xf, cin, scale1_ref[...], bias1_ref[...])
+    h = conv3x3(h.reshape(bt, H, W, cin), cin, w1_ref, b1_ref[...])
+    h = h + temb_ref[...][:, None, None, :]
+    h = gn_silu(h.reshape(bt, hw, cout), cout, scale2_ref[...], bias2_ref[...])
+    h = conv3x3(h.reshape(bt, H, W, cout), cout, w2_ref, b2_ref[...])
 
-    o_ref[0] = (x_flat32 + h).reshape(H, W, C).astype(o_ref.dtype)
+    if ws_ref is None:
+        skip = xf.reshape(bt, H, W, cin)
+    else:
+        skip = jnp.dot(
+            x.reshape(bt * hw, cin).astype(jnp.bfloat16),
+            ws_ref[...],
+            preferred_element_type=jnp.float32,
+        )
+        skip = (skip + bs_ref[...]).reshape(bt, H, W, cout)
+    o_ref[...] = (skip + h).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("groups", "eps", "interpret"))
+def _pallas_impl(params, x, temb_proj, groups, eps, interpret):
+    b, h, w, cin = x.shape
+    cout = params.w1.shape[-1]
+    bt = _tile_batch(b, h, w, cin, cout)
+    grid = (b // bt,)
+    cmax = max(cin, cout)
+
+    w1 = params.w1.reshape(9, cin, cout).astype(jnp.bfloat16)
+    w2 = params.w2.reshape(9, cout, cout).astype(jnp.bfloat16)
+    row = lambda v, c: v.reshape(1, c).astype(jnp.float32)
+
+    def vec(c):
+        return pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    has_skip = params.ws is not None
+    inputs = [
+        x,
+        temb_proj.astype(jnp.float32),
+        row(params.scale1, cin),
+        row(params.bias1, cin),
+        w1,
+        row(params.b1, cout),
+        row(params.scale2, cout),
+        row(params.bias2, cout),
+        w2,
+        row(params.b2, cout),
+    ]
+    in_specs = [
+        pl.BlockSpec((bt, h, w, cin), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bt, cout), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        vec(cin), vec(cin),
+        pl.BlockSpec((9, cin, cout), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        vec(cout), vec(cout), vec(cout),
+        pl.BlockSpec((9, cout, cout), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        vec(cout),
+    ]
+    if has_skip:
+        inputs += [params.ws.astype(jnp.bfloat16), row(params.bs, cout)]
+        in_specs += [
+            pl.BlockSpec((cin, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            vec(cout),
+        ]
+        kernel = functools.partial(_kernel, H=h, W=w, groups=groups, eps=eps)
+    else:
+        kernel = functools.partial(
+            _skipless_kernel, H=h, W=w, groups=groups, eps=eps
+        )
+
+    conv_flops = 2 * 9 * h * (w + 2) * cout * b
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, w, cout), x.dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (bt, h, w, cout), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bt, h + 3, w + 2, cmax), jnp.bfloat16),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=conv_flops * (cin + cout) // cout,
+            bytes_accessed=b * h * w * (cin + cout) * x.dtype.itemsize
+            + 9 * (cin + cout) * cout * 2,
+            transcendentals=b * h * w * (cin + cout),
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+
+def _skipless_kernel(*refs, **kw):
+    """`_kernel` arity without the shortcut operands (identity skip)."""
+    *main, o_ref, pad_ref = refs
+    _kernel(*main, None, None, o_ref, pad_ref, **kw)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _block(params, x, temb_proj, groups, eps, interpret):
+    return _pallas_impl(params, x, temb_proj, groups, eps, interpret)
+
+
+def _fwd(params, x, temb_proj, groups, eps, interpret):
+    out = _pallas_impl(params, x, temb_proj, groups, eps, interpret)
+    return out, (params, x, temb_proj)
+
+
+def _bwd(groups, eps, interpret, residuals, g):
+    params, x, temb_proj = residuals
+    _, vjp = jax.vjp(
+        lambda p, xi, t: resnet_block_ref(p, xi, t, groups=groups, eps=eps),
+        params, x, temb_proj,
+    )
+    dp, dx, dt = vjp(g.astype(jnp.float32))
+    return dp, dx.astype(x.dtype), dt.astype(temb_proj.dtype)
+
+
+_block.defvjp(_fwd, _bwd)
+
+
 def resnet_block_pallas(
     params: ResnetParams,
-    x: jax.Array,  # [B, H, W, C]
-    temb_proj: jax.Array,  # [B, C]
+    x: jax.Array,  # [B, H, W, Cin]
+    temb_proj: jax.Array,  # [B, Cout]
     *,
     groups: int = 32,
     eps: float = 1e-5,
     interpret: bool = False,
 ) -> jax.Array:
-    b, h, w, c = x.shape
-    # [3,3,Cin,Cout] → [9·Cin, Cout], row k·C+cin = tap k (matches im2col)
-    w1 = params.w1.reshape(9 * c, c).astype(jnp.bfloat16)
-    w2 = params.w2.reshape(9 * c, c).astype(jnp.bfloat16)
-    row = lambda v: v.reshape(1, c).astype(jnp.float32)
-
-    vec_specs = [
-        pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    ]
-
-    out = pl.pallas_call(
-        functools.partial(
-            _kernel, H=h, W=w, C=c, groups=groups, eps=eps
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # temb, whole [B, C]
-            *vec_specs,  # scale1
-            *vec_specs,  # bias1
-            pl.BlockSpec((9 * c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            *vec_specs,  # b1
-            *vec_specs,  # scale2
-            *vec_specs,  # bias2
-            pl.BlockSpec((9 * c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            *vec_specs,  # b2
-        ],
-        out_specs=pl.BlockSpec(
-            (1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * 2 * 9 * h * w * c * c,
-            bytes_accessed=2 * b * h * w * c * x.dtype.itemsize + 2 * 9 * c * c * 4,
-            transcendentals=2 * b * h * w * c,
-        ),
-        interpret=interpret,
-    )(
-        x,
-        temb_proj.astype(jnp.float32),
-        row(params.scale1),
-        row(params.bias1),
-        w1,
-        row(params.b1),
-        row(params.scale2),
-        row(params.bias2),
-        w2,
-        row(params.b2),
-    )
-    return out
+    """Fused resnet block forward; backward through `resnet_block_ref`
+    (identical math), so the op is trainable."""
+    return _block(params, x, temb_proj, groups, eps, interpret)
