@@ -60,6 +60,7 @@ def make_classifier(
     fast: bool = False,
     n_fast_classes: int = 2,
     eval_group: int = 0,
+    class_chunk: int = 0,
     megabatch_target: int = 512,
     encode_fn: Callable = None,
     tail_fn: Callable = None,
@@ -69,6 +70,13 @@ def make_classifier(
 
     ``labels`` is consumed only in fast mode (oracle-assisted candidate
     subsetting, reference `:671-677`); pass zeros otherwise.
+
+    ``class_chunk`` scores candidates ``class_chunk`` classes at a time via
+    an on-device scan instead of one giant megabatch — predictions are
+    IDENTICAL for any value (the (t, ε) key derivation does not depend on
+    it); only the execution schedule changes. 0 = all classes at once.
+    Values that do not divide a stage's surviving-candidate count fall back
+    to no chunking for that stage.
 
     When ``encode_fn(params, z, logsnr) -> prefix_state`` and
     ``tail_fn(params, prefix_state, labels) -> pred`` are provided (UNet
@@ -101,12 +109,28 @@ def make_classifier(
     def _score_stage(
         params, x, cand, err_sum, count, rng, n_evals, group, identity=False
     ):
-        """Score `cand` [B,K] over `n_evals` evaluations, G at a time."""
+        """Score `cand` [B,K] over `n_evals` evaluations, G at a time.
+
+        When ``class_chunk`` divides K into more than one chunk, the K
+        candidates are scored by a ``lax.scan`` over chunks of ``cc`` classes
+        (megabatch G·B·cc each) instead of one G·B·K megabatch. Measured on
+        TPU v5e, a scan of medium batches outruns one giant batch — the
+        pipeline double-buffers weight streaming across scan iterations —
+        which is also why the reference's per-class loop rebuilt as an
+        on-device scan is fast (BASELINE.md). Errors for all chunks of one
+        evaluation land in a dense [G, B, C] table CARRIED through the class
+        scan, so a candidate duplicated across chunks (fast mode) still
+        counts once per evaluation, exactly like the reference's same-slot
+        writes (`:711`).
+        """
         b = x.shape[0]
         k = cand.shape[1]
         assert n_evals % group == 0, (n_evals, group)
         n_chunks = n_evals // group
         keys = jax.random.split(rng, n_chunks)
+
+        cc = class_chunk if class_chunk and k % class_chunk == 0 else k
+        n_cc = k // cc
 
         img_axes = tuple(range(1, x.ndim))  # spatial+channel axes of one image
 
@@ -123,54 +147,70 @@ def make_classifier(
             s = bcast_right(sigma_t, eps.ndim).astype(x.dtype)
             z = a * x[None] + s * eps  # [G, B, ...]
 
-            # Megabatch: broadcast (G, B, ...) across K candidates → [G·B·K, ...]
-            zz = jnp.broadcast_to(
-                z[:, :, None], (group, b, k) + x.shape[1:]
-            ).reshape((group * b * k,) + x.shape[1:])
-            lg = jnp.broadcast_to(
-                logsnr_t[:, :, None], (group, b, k)
-            ).reshape(-1)
-            lab = jnp.broadcast_to(cand[None], (group, b, k)).reshape(-1)
-
             if encode_fn is not None and tail_fn is not None:
-                # Shared-prefix path: run the conditioning-independent prefix
-                # on [G·B] once, fan its state out across the K classes.
+                # Shared-prefix path: the conditioning-independent prefix
+                # runs on [G·B] ONCE per evaluation group; only the
+                # conditioned tail fans out across candidate classes.
                 z_flat = z.reshape((group * b,) + x.shape[1:])
                 lg_flat = logsnr_t.reshape(group * b)
                 state = encode_fn(params, z_flat, lg_flat)
-                state_rep = jax.tree.map(
-                    lambda a: jnp.repeat(a, k, axis=0), state
-                )
-                pred = tail_fn(params, state_rep, lab)
             else:
-                pred = apply_fn(params, zz, lg, lab)
-            al, si = alpha_sigma(lg)
-            eps_pred = pred_to_eps(pred, zz, al, si, pred_param)
-            eps_rep = jnp.broadcast_to(
-                eps[:, :, None], (group, b, k) + x.shape[1:]
-            ).reshape((group * b * k,) + x.shape[1:])
-            err = jnp.sum(
-                jnp.square((eps_pred - eps_rep).astype(jnp.float32)),
-                axis=img_axes,
-            ).reshape(group, b, k)
+                state = None
 
-            if identity:
+            def score_classes(cand_c):
+                """Errors for `cand_c` [B, cc_] classes → [G, B, cc_]."""
+                cc_ = cand_c.shape[1]
+                lg = jnp.broadcast_to(
+                    logsnr_t[:, :, None], (group, b, cc_)
+                ).reshape(-1)
+                lab = jnp.broadcast_to(cand_c[None], (group, b, cc_)).reshape(-1)
+                zz = jnp.broadcast_to(
+                    z[:, :, None], (group, b, cc_) + x.shape[1:]
+                ).reshape((group * b * cc_,) + x.shape[1:])
+                if state is not None:
+                    state_rep = jax.tree.map(
+                        lambda a: jnp.repeat(a, cc_, axis=0), state
+                    )
+                    pred = tail_fn(params, state_rep, lab)
+                else:
+                    pred = apply_fn(params, zz, lg, lab)
+                al, si = alpha_sigma(lg)
+                eps_pred = pred_to_eps(pred, zz, al, si, pred_param)
+                eps_rep = jnp.broadcast_to(
+                    eps[:, :, None], (group, b, cc_) + x.shape[1:]
+                ).reshape((group * b * cc_,) + x.shape[1:])
+                return jnp.sum(
+                    jnp.square((eps_pred - eps_rep).astype(jnp.float32)),
+                    axis=img_axes,
+                ).reshape(group, b, cc_)
+
+            if identity and n_cc == 1:
                 # cand[b] == arange(C) for every row (full-class stage before
                 # any pruning): the err slots are already class-aligned — no
                 # scatter needed.
+                err = score_classes(cand)
                 err_sum = err_sum + err.sum(axis=0)
                 count = count + group
+                return (err_sum, count), None
+
+            g_idx = jnp.arange(group)[:, None, None]
+            b_idx = jnp.arange(b)[None, :, None]
+
+            def class_body(dense, cand_c):
+                err = score_classes(cand_c)
+                # duplicates in/across chunks write the same value into the
+                # same slot (shared (t, ε) ⇒ identical error)
+                return dense.at[g_idx, b_idx, cand_c[None]].set(err), None
+
+            dense0 = jnp.full((group, b, num_classes), jnp.inf, jnp.float32)
+            if n_cc == 1:
+                dense, _ = class_body(dense0, cand)
             else:
-                # Scatter into dense [G, B, C] slots; duplicates in `cand`
-                # write the same value (matching the reference's same-slot
-                # writes).
-                dense = jnp.full((group, b, num_classes), jnp.inf, jnp.float32)
-                g_idx = jnp.arange(group)[:, None, None]
-                b_idx = jnp.arange(b)[None, :, None]
-                dense = dense.at[g_idx, b_idx, cand[None]].set(err)
-                scored = jnp.isfinite(dense)
-                err_sum = err_sum + jnp.where(scored, dense, 0.0).sum(axis=0)
-                count = count + scored.sum(axis=0)
+                chunks = cand.reshape(b, n_cc, cc).transpose(1, 0, 2)
+                dense, _ = jax.lax.scan(class_body, dense0, chunks)
+            scored = jnp.isfinite(dense)
+            err_sum = err_sum + jnp.where(scored, dense, 0.0).sum(axis=0)
+            count = count + scored.sum(axis=0)
             return (err_sum, count), None
 
         (err_sum, count), _ = jax.lax.scan(chunk_body, (err_sum, count), keys)

@@ -133,6 +133,7 @@ class DiffusionClassifier:
             fast=config.fast_classification,
             n_fast_classes=config.n_fast_classes,
             eval_group=config.classify_chunk,
+            class_chunk=config.classify_class_chunk,
             encode_fn=self._encode,
             tail_fn=self._tail,
         )

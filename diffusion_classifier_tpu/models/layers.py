@@ -69,7 +69,9 @@ class TimestepEmbedding(nn.Module):
         return nn.Dense(self.time_embed_dim, dtype=self.dtype, name="linear_2")(h)
 
 
-class GroupNormF32(nn.Module):
+def group_norm_mxu(
+    x: jax.Array, scale: jax.Array, bias: jax.Array, *, num_groups: int, eps: float
+) -> jax.Array:
     """GroupNorm with fp32-accumulated statistics computed on the MXU.
 
     XLA lowers the textbook NHWC group-norm reduction to ``convert_reduce``
@@ -81,62 +83,70 @@ class GroupNormF32(nn.Module):
     accumulation is fp32 (flax's own fast-variance path also uses the
     E[x²]−E[x]² formula).
     """
+    g = num_groups
+    c = x.shape[-1]
+    assert c % g == 0, f"groups {g} must divide channels {c}"
+    cg = c // g
+
+    n = x.shape[0]
+    xf = x.reshape(n, -1, c)
+    count = xf.shape[1] * cg
+
+    # membership[c, g'] = 1 iff channel c belongs to group g'
+    chan_group = jnp.arange(c, dtype=jnp.int32) // cg
+    membership = (
+        chan_group[:, None] == jnp.arange(g, dtype=jnp.int32)[None, :]
+    ).astype(x.dtype)
+
+    # bf16 inputs: single-pass MXU with fp32 accumulation is exact for the
+    # sum. fp32 inputs: force full-precision passes (the TPU default
+    # decomposes fp32 matmuls into lossy bf16 passes).
+    precision = (
+        jax.lax.Precision.DEFAULT
+        if x.dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+    s_g = jnp.einsum(
+        "nsc,ck->nk",
+        xf,
+        membership,
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    ss_g = jnp.einsum(
+        "nsc,ck->nk",
+        xf * xf,
+        membership,
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    mean = s_g / count
+    var = jnp.maximum(ss_g / count - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+
+    # broadcast per-group stats back to channels: [n, g] → [n, c]
+    mean_c = jnp.repeat(mean, cg, axis=1)
+    inv_c = jnp.repeat(inv, cg, axis=1)
+    w = (inv_c * scale[None, :]).astype(x.dtype)
+    b = (bias[None, :] - mean_c * inv_c * scale[None, :]).astype(x.dtype)
+    y = xf * w[:, None, :] + b[:, None, :]
+    return y.reshape(x.shape)
+
+
+class GroupNormF32(nn.Module):
+    """Module wrapper over :func:`group_norm_mxu` (fp32 MXU statistics)."""
 
     num_groups: int = 32
     eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        g = self.num_groups
-        *batch_dims, c = x.shape
-        assert c % g == 0, f"groups {g} must divide channels {c}"
-        cg = c // g
+        c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-
-        n = x.shape[0]
-        xf = x.reshape(n, -1, c)
-        count = xf.shape[1] * cg
-
-        # membership[c, g'] = 1 iff channel c belongs to group g'
-        chan_group = jnp.arange(c, dtype=jnp.int32) // cg
-        membership = (
-            chan_group[:, None] == jnp.arange(g, dtype=jnp.int32)[None, :]
-        ).astype(x.dtype)
-
-        # bf16 inputs: single-pass MXU with fp32 accumulation is exact for the
-        # sum. fp32 inputs: force full-precision passes (the TPU default
-        # decomposes fp32 matmuls into lossy bf16 passes).
-        precision = (
-            jax.lax.Precision.DEFAULT
-            if x.dtype == jnp.bfloat16
-            else jax.lax.Precision.HIGHEST
+        return group_norm_mxu(
+            x, scale, bias, num_groups=self.num_groups, eps=self.eps
         )
-        s_g = jnp.einsum(
-            "nsc,ck->nk",
-            xf,
-            membership,
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )
-        ss_g = jnp.einsum(
-            "nsc,ck->nk",
-            xf * xf,
-            membership,
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )
-        mean = s_g / count
-        var = jnp.maximum(ss_g / count - jnp.square(mean), 0.0)
-        inv = jax.lax.rsqrt(var + self.eps)
-
-        # broadcast per-group stats back to channels: [n, g] → [n, c]
-        mean_c = jnp.repeat(mean, cg, axis=1)
-        inv_c = jnp.repeat(inv, cg, axis=1)
-        w = (inv_c * scale[None, :]).astype(x.dtype)
-        b = (bias[None, :] - mean_c * inv_c * scale[None, :]).astype(x.dtype)
-        y = xf * w[:, None, :] + b[:, None, :]
-        return y.reshape(x.shape)
 
 
 class ResnetBlock2D(nn.Module):
@@ -144,6 +154,16 @@ class ResnetBlock2D(nn.Module):
 
     Structure-parity with diffusers ``ResnetBlock2D`` (default
     ``resnet_time_scale_shift='default'``, ``output_scale_factor=1``).
+
+    Parameters are declared explicitly (not via child nn.Conv modules) so the
+    same tree drives both execution backends:
+
+    - ``backend='xla'`` — the unfused chain (XLA convs + MXU group-norm);
+    - ``backend='pallas'`` — the whole block as ONE fused TPU kernel
+      (`ops/fused_resnet.py`): activations stay VMEM-resident across both
+      convs, saving the chain's HBM round trips. Falls back to xla for
+      shapes the kernel does not support (stride, dropout, channel tiling,
+      VMEM budget) and under dropout training.
     """
 
     out_channels: int
@@ -151,35 +171,86 @@ class ResnetBlock2D(nn.Module):
     groups: int = 32
     eps: float = 1e-5
     dtype: Dtype = jnp.float32
+    backend: str = "xla"
 
     @nn.compact
     def __call__(
         self, x: jax.Array, temb: jax.Array, *, deterministic: bool = True
     ) -> jax.Array:
+        from ..ops import fused_resnet
+
         in_ch = x.shape[-1]
-        h = GroupNormF32(self.groups, self.eps, name="norm1")(x)
-        h = nn.silu(h)
-        h = nn.Conv(
-            self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1"
-        )(h)
+        out_ch = self.out_channels
+        lecun = nn.initializers.lecun_normal()
+        ones, zeros = nn.initializers.ones, nn.initializers.zeros
+        channel_change = in_ch != out_ch
 
-        t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
-            nn.silu(temb)
+        p = fused_resnet.ResnetParams(
+            scale1=self.param("norm1_scale", ones, (in_ch,), jnp.float32),
+            bias1=self.param("norm1_bias", zeros, (in_ch,), jnp.float32),
+            w1=self.param("conv1_kernel", lecun, (3, 3, in_ch, out_ch), jnp.float32),
+            b1=self.param("conv1_bias", zeros, (out_ch,), jnp.float32),
+            scale2=self.param("norm2_scale", ones, (out_ch,), jnp.float32),
+            bias2=self.param("norm2_bias", zeros, (out_ch,), jnp.float32),
+            w2=self.param("conv2_kernel", lecun, (3, 3, out_ch, out_ch), jnp.float32),
+            b2=self.param("conv2_bias", zeros, (out_ch,), jnp.float32),
+            ws=self.param("shortcut_kernel", lecun, (in_ch, out_ch), jnp.float32)
+            if channel_change
+            else None,
+            bs=self.param("shortcut_bias", zeros, (out_ch,), jnp.float32)
+            if channel_change
+            else None,
         )
-        h = h + t[:, None, None, :]
+        wt = self.param(
+            "time_emb_kernel", lecun, (temb.shape[-1], out_ch), jnp.float32
+        )
+        bt = self.param("time_emb_bias", zeros, (out_ch,), jnp.float32)
+        t = nn.silu(temb).astype(self.dtype) @ wt.astype(self.dtype) + bt.astype(
+            self.dtype
+        )
 
-        h = GroupNormF32(self.groups, self.eps, name="norm2")(h)
+        dropout_active = self.dropout > 0.0 and not deterministic
+        if (
+            self.backend == "pallas"
+            and not dropout_active
+            and not self.is_initializing()
+            and fused_resnet.supports(x, in_ch, out_ch, 1, 0.0)
+        ):
+            return fused_resnet.resnet_block_pallas(
+                p,
+                x,
+                t.astype(jnp.float32),
+                groups=self.groups,
+                eps=self.eps,
+                interpret=jax.default_backend() != "tpu",
+            ).astype(x.dtype)
+
+        def conv(h, w, b):
+            out = jax.lax.conv_general_dilated(
+                h.astype(self.dtype),
+                w.astype(self.dtype),
+                window_strides=(1, 1),
+                padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return out + b.astype(self.dtype)
+
+        h = group_norm_mxu(x, p.scale1, p.bias1, num_groups=self.groups, eps=self.eps)
+        h = nn.silu(h)
+        h = conv(h, p.w1, p.b1)
+        h = h + t[:, None, None, :]
+        h = group_norm_mxu(h, p.scale2, p.bias2, num_groups=self.groups, eps=self.eps)
         h = nn.silu(h)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Conv(
-            self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2"
-        )(h)
+        h = conv(h, p.w2, p.b2)
 
-        if in_ch != self.out_channels:
-            x = nn.Conv(
-                self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut"
-            )(x)
+        if channel_change:
+            b_, hh, ww, _ = x.shape
+            x = (
+                x.reshape(-1, in_ch).astype(self.dtype) @ p.ws.astype(self.dtype)
+                + p.bs.astype(self.dtype)
+            ).reshape(b_, hh, ww, out_ch)
         return x + h
 
 

@@ -128,7 +128,7 @@ def _tile_batch(b: int, h: int, w: int, cin: int, cout: int) -> int:
             + 9 * (cin + cout) * cout * 2  # weights
         )
 
-    best = 1
+    best = 0
     for bt in range(1, b + 1):
         if b % bt == 0 and bytes_for(bt) <= _VMEM_BUDGET:
             best = bt
@@ -150,7 +150,7 @@ def supports(x: jax.Array, in_ch: int, out_ch: int, stride: int, dropout: float)
 
 def _kernel(
     x_ref,  # [bt, H, W, Cin]
-    temb_ref,  # [bt, Cout]
+    temb_ref,  # [B, Cout] (whole array; rows selected by program_id)
     scale1_ref, bias1_ref,  # [1, Cin] f32
     w1_ref,  # [9, Cin, Cout] bf16
     b1_ref,  # [1, Cout] f32
@@ -214,9 +214,13 @@ def _kernel(
     x = x_ref[...]  # [bt, H, W, Cin]
     xf = x.reshape(bt, hw, cin).astype(jnp.float32)
 
+    # temb rows of this batch tile (whole-array ref: keeps the batch tile
+    # free of Mosaic's %8 block rule on 2D operands)
+    t = temb_ref[pl.ds(pl.program_id(0) * bt, bt), :]
+
     h = gn_silu(xf, cin, scale1_ref[...], bias1_ref[...])
     h = conv3x3(h.reshape(bt, H, W, cin), cin, w1_ref, b1_ref[...])
-    h = h + temb_ref[...][:, None, None, :]
+    h = h + t[:, None, None, :]
     h = gn_silu(h.reshape(bt, hw, cout), cout, scale2_ref[...], bias2_ref[...])
     h = conv3x3(h.reshape(bt, H, W, cout), cout, w2_ref, b2_ref[...])
 
@@ -261,7 +265,7 @@ def _pallas_impl(params, x, temb_proj, groups, eps, interpret):
     ]
     in_specs = [
         pl.BlockSpec((bt, h, w, cin), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((bt, cout), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # temb: whole [B, Cout]
         vec(cin), vec(cin),
         pl.BlockSpec((9, cin, cout), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         vec(cout), vec(cout), vec(cout),

@@ -82,6 +82,9 @@ class ExperimentConfig:
     n_keep_per_stage: Sequence[int] = (1,)
     # how many (class × eval) forwards to fuse into one device megabatch
     classify_chunk: int = 0  # 0 = auto
+    # classes scored per scan step inside classify (0 = all at once);
+    # identical predictions for any value, execution schedule only
+    classify_class_chunk: int = 0
     # --- model extras ---
     patch_size: int = 2  # DiT
     variant: str = "resnet18"  # discriminative baseline
@@ -89,6 +92,7 @@ class ExperimentConfig:
     # --- runtime ---
     slurm: bool = False
     attn_backend: str = "xla"  # 'xla' | 'pallas'
+    resnet_backend: str = "xla"  # 'xla' | 'pallas' (fused resnet-block kernel)
     # debug/observability (SURVEY §5.2: the reference has no sanitizers; JAX
     # purity + these toggles are the TPU-native equivalent)
     debug_nans: bool = False

@@ -251,3 +251,31 @@ def test_eval_group_must_divide_stage_evals():
             n_keep_per_stage=(1,),
             eval_group=2,
         )
+
+
+def test_class_chunk_is_pure_schedule():
+    """class_chunk changes the execution schedule only: the (t, ε) key
+    derivation does not depend on it, so predictions and per-stage means are
+    IDENTICAL for any chunking (including fast mode with duplicates)."""
+    schedule_fn = make_schedule_fn("shifted_cosine", NOISE_D, IMAGE_D)
+    x, _ = _make_inputs(seed=3)
+    labels = jnp.asarray([0, 2, 4], jnp.int32)
+
+    def build(chunk, fast):
+        return jax.jit(make_classifier(
+            _apply_fn, schedule_fn, pred_param="v", num_classes=C,
+            n_stages=2, evaluation_per_stage=(2, 5), n_keep_per_stage=(3, 1),
+            fast=fast, n_fast_classes=4 if fast else 2,
+            eval_group=1, class_chunk=chunk, trace=True,
+        ))
+
+    for fast in (False, True):
+        base_pred, base_stages = build(0, fast)(None, x, labels, jax.random.PRNGKey(11))
+        for chunk in (1, 5) if not fast else (1, 2):
+            pred, stages = build(chunk, fast)(None, x, labels, jax.random.PRNGKey(11))
+            np.testing.assert_array_equal(np.asarray(base_pred), np.asarray(pred))
+            for s0, s1 in zip(base_stages, stages):
+                a, b = np.asarray(s0["mean"]), np.asarray(s1["mean"])
+                fin = np.isfinite(a)
+                assert (np.isfinite(b) == fin).all()
+                np.testing.assert_allclose(a[fin], b[fin], rtol=1e-5)
