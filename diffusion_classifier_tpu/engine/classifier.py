@@ -20,6 +20,7 @@ import optax
 from flax import linen as nn
 
 from ..parallel.mesh import local_rows, make_mesh, replicated, shard_batch
+from ..parallel.sharding import shard_params
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from ..utils.config import ExperimentConfig
 from ..utils.tracking import make_tracker
@@ -63,7 +64,7 @@ class Classifier:
             return
         x = jnp.asarray(np.asarray(sample_batch["images"], np.float32))
         self.variables = self.model.init(self._next_rng(), x, train=False)
-        self.variables = jax.device_put(self.variables, replicated(self.mesh))
+        self.variables = shard_params(self.mesh, self.variables)
         n = sum(
             int(np.prod(p.shape))
             for p in jax.tree.leaves(self.variables["params"])

@@ -40,6 +40,7 @@ from ..diffusion.schedule import make_schedule_fn
 from ..models.encoders import make_encoder
 from ..ops.wavelet import haar_dwt2
 from ..parallel.mesh import local_rows, make_mesh, replicated, shard_batch
+from ..parallel.sharding import shard_params
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from ..utils.config import ExperimentConfig
 from ..utils.tracking import make_tracker
@@ -184,7 +185,8 @@ class DiffusionClassifier:
         params = self.denoiser.init(
             self._next_rng(), x, jnp.zeros((x.shape[0],)), p
         )
-        params = jax.device_put(params, replicated(self.mesh))
+        # TP placement when the mesh has a model axis; replication otherwise
+        params = shard_params(self.mesh, params)
         n = sum(int(np.prod(q.shape)) for q in jax.tree.leaves(params))
         if self.is_main_process:
             print(f"Parameter count: {n}")

@@ -302,6 +302,12 @@ def _pallas_impl(params, x, temb_proj, groups, eps, interpret):
             + 9 * (cin + cout) * cout * 2,
             transcendentals=b * h * w * (cin + cout),
         ),
+        # Mosaic's scoped-vmem default (16 MB) undercounts this kernel's
+        # unrolled-tap live ranges; raise it (physical VMEM is far larger —
+        # jax's own flash-attention kernels set 128 MB).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(*inputs)
 
