@@ -8,20 +8,18 @@ convolutions, so the chain makes several HBM round trips per block and the
 measured forward sits ~30% above the MXU floor (BASELINE.md). This kernel
 keeps a whole batch-tile's activations resident in VMEM for the entire block.
 
-Key design (v2 — the round-1 im2col kernel measured 1.75 ms vs XLA's
-1.04-1.42 ms at the L0 shape and was retired):
+Key design (v3):
 
-- **Contiguous-slab conv.** With 1-pixel zero padding, tap ``(dy, dx)`` of a
-  3×3 conv is the ``[bt, H·(W+2), C]`` slice of the flattened padded buffer
-  starting at flat offset ``dy·(W+2)+dx``: ``view[i, j] = padded[i+dy, j+dx]``
-  for every valid output column ``j < W``. The conv is therefore 9
-  relayout-free MXU matmuls ``[bt·H·(W+2), Cin] @ [Cin, Cout]`` accumulated
-  in fp32, at the cost of 2 junk columns per row (~6% extra MACs) that are
-  sliced away at the end — no im2col materialization, no strided-operand
-  copies.
-- **Batch-tiled grid.** ``bt`` samples per grid step (vs one in v1) so each
-  matmul's M dimension is thousands of rows; weights stay VMEM-resident
-  across the whole grid (constant index_map).
+- **Batched in-VMEM im2col conv.** Each 3×3 conv is ONE
+  ``[bt·H·W, 9C] @ [9C, Cout]`` MXU matmul with fp32 accumulation — the
+  deep K = 9C contraction keeps the systolic array streaming, and the
+  column matrix costs a single relayout. (Two alternatives measured slower
+  on v5e: per-tap shifted-slice accumulation — every unaligned slice costs
+  Mosaic a full-slab relayout, 9x per conv, 8.6 ms vs XLA's 3.0 ms at the
+  L0 shape — and the round-1 single-sample grid at 1.75 ms.)
+- **Batch-tiled grid.** ``bt`` samples per grid step so the matmul M
+  dimension is thousands of rows; weights stay VMEM-resident across the
+  whole grid (constant index_map).
 - **MXU group-norm.** Per-(sample, group) statistics via a same-group
   channel-mask matmul in fp32, exactly like ``GroupNormF32``.
 - Channel change (``Cin ≠ Cout``) and the 1×1 ``conv_shortcut`` are fused
@@ -45,7 +43,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["ResnetParams", "resnet_block_ref", "resnet_block_pallas", "supports"]
 
-_VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom out of ~16 MB/core
+_VMEM_BUDGET = 16 * 1024 * 1024  # estimate cap; Mosaic live ranges run ~2-3x,
+# absorbed by the raised vmem_limit_bytes in the pallas_call
 
 
 class ResnetParams(NamedTuple):
@@ -116,15 +115,17 @@ def resnet_block_ref(
 
 def _tile_batch(b: int, h: int, w: int, cin: int, cout: int) -> int:
     """Largest divisor of ``b`` whose working set fits the VMEM budget."""
-    hw2 = h * (w + 2)
-    pad = (h + 3) * (w + 2)
+    hw = h * w
+    cmax = max(cin, cout)
 
     def bytes_for(bt):
+        # dominated by the im2col column matrix; Mosaic's live-range
+        # accounting runs ~2-3x this estimate, absorbed by the raised
+        # vmem_limit_bytes
         return (
-            bt * h * w * cin * 2  # x tile (bf16)
-            + bt * pad * max(cin, cout) * 2  # padded scratch (bf16)
-            + bt * hw2 * cout * 4  # fp32 conv accumulator
-            + bt * h * w * cout * 2  # intermediate/output
+            bt * hw * 9 * cmax * 2  # im2col columns (bf16)
+            + bt * hw * cout * 4  # fp32 conv accumulator
+            + bt * hw * (cin + cout) * 4  # x/intermediates
             + 9 * (cin + cout) * cout * 2  # weights
         )
 
@@ -152,15 +153,14 @@ def _kernel(
     x_ref,  # [bt, H, W, Cin]
     temb_ref,  # [B, Cout] (whole array; rows selected by program_id)
     scale1_ref, bias1_ref,  # [1, Cin] f32
-    w1_ref,  # [9, Cin, Cout] bf16
+    w1_ref,  # [9·Cin, Cout] bf16 (im2col row order)
     b1_ref,  # [1, Cout] f32
     scale2_ref, bias2_ref,  # [1, Cout] f32
-    w2_ref,  # [9, Cout, Cout] bf16
+    w2_ref,  # [9·Cout, Cout] bf16
     b2_ref,  # [1, Cout] f32
     ws_ref,  # [Cin, Cout] bf16 or None
     bs_ref,  # [1, Cout] f32 or None
     o_ref,  # [bt, H, W, Cout]
-    pad_ref,  # VMEM scratch [bt, H+2, W+2, Cmax] bf16
     *,
     H: int,
     W: int,
@@ -170,7 +170,6 @@ def _kernel(
     bt, _, _, cin = x_ref.shape
     cout = o_ref.shape[-1]
     hw = H * W
-    wp = W + 2
 
     def gn_silu(h, c, scale, bias):
         # h: [bt, HW, c] f32 → per-(sample, group) stats → SiLU → bf16
@@ -189,27 +188,24 @@ def _kernel(
         return (y * jax.nn.sigmoid(y)).astype(jnp.bfloat16)
 
     def conv3x3(h_bf, c, w_taps, bias):
-        # h_bf: [bt, H, W, c] bf16. Write into the zeroed pad scratch, then
-        # read back the whole padded slab ONCE and take 9 contiguous flat
-        # slices — tap (dy, dx) starts at flat offset dy·(W+2)+dx and its
-        # [H·(W+2)] window satisfies view[i, j] = padded[i+dy, j+dx] for
-        # j < W; columns W, W+1 of the accumulator are junk and dropped.
-        # scratch has H+3 rows: the last tap's contiguous window runs 2
-        # elements past the (H+2)-row padded image; the overrun reads only
-        # feed junk output columns (j >= W), so an extra zero row suffices.
-        pad_ref[:, :, :, :c] = jnp.zeros((bt, H + 3, wp, c), jnp.bfloat16)
-        pad_ref[:, 1 : H + 1, 1 : W + 1, :c] = h_bf
-        slab = pad_ref[:, :, :, :c].reshape(bt, (H + 3) * wp, c)
-        rows = H * wp  # per-sample tap window
-        acc = jnp.zeros((bt * rows, cout), jnp.float32)
-        for k in range(9):
-            off = (k // 3) * wp + (k % 3)  # static per tap
-            tap = slab[:, off : off + rows, :].reshape(bt * rows, c)
-            acc = acc + jnp.dot(
-                tap, w_taps[k], preferred_element_type=jnp.float32
-            )
-        out = acc.reshape(bt, H, wp, cout)[:, :, :W, :]  # drop junk columns
-        return out + bias
+        # h_bf: [bt, H, W, c] bf16 → in-VMEM im2col → ONE
+        # [bt·H·W, 9c] @ [9c, cout] MXU matmul. The deep K = 9c dimension
+        # keeps the systolic array streaming; building the column matrix is
+        # one relayout. (A shifted-slice accumulation formulation measured
+        # ~3x slower: every unaligned tap slice costs Mosaic a full-slab
+        # relayout, nine times per conv.)
+        padded = jnp.pad(h_bf, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        cols = jnp.concatenate(
+            [
+                padded[:, k // 3 : k // 3 + H, k % 3 : k % 3 + W, :].reshape(
+                    bt * hw, c
+                )
+                for k in range(9)
+            ],
+            axis=1,
+        )  # [bt·HW, 9c]
+        acc = jnp.dot(cols, w_taps[...], preferred_element_type=jnp.float32)
+        return acc.reshape(bt, H, W, cout) + bias
 
     x = x_ref[...]  # [bt, H, W, Cin]
     xf = x.reshape(bt, hw, cin).astype(jnp.float32)
@@ -243,8 +239,10 @@ def _pallas_impl(params, x, temb_proj, groups, eps, interpret):
     grid = (b // bt,)
     cmax = max(cin, cout)
 
-    w1 = params.w1.reshape(9, cin, cout).astype(jnp.bfloat16)
-    w2 = params.w2.reshape(9, cout, cout).astype(jnp.bfloat16)
+    # [3,3,Cin,Cout] → [9·Cin, Cout]: row (k·Cin + cin) = tap k — matches
+    # the kernel's im2col column order
+    w1 = params.w1.reshape(9 * cin, cout).astype(jnp.bfloat16)
+    w2 = params.w2.reshape(9 * cout, cout).astype(jnp.bfloat16)
     row = lambda v, c: v.reshape(1, c).astype(jnp.float32)
 
     def vec(c):
@@ -267,9 +265,9 @@ def _pallas_impl(params, x, temb_proj, groups, eps, interpret):
         pl.BlockSpec((bt, h, w, cin), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),  # temb: whole [B, Cout]
         vec(cin), vec(cin),
-        pl.BlockSpec((9, cin, cout), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((9 * cin, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
         vec(cout), vec(cout), vec(cout),
-        pl.BlockSpec((9, cout, cout), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((9 * cout, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
         vec(cout),
     ]
     if has_skip:
@@ -293,9 +291,6 @@ def _pallas_impl(params, x, temb_proj, groups, eps, interpret):
         out_specs=pl.BlockSpec(
             (bt, h, w, cout), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[
-            pltpu.VMEM((bt, h + 3, w + 2, cmax), jnp.bfloat16),
-        ],
         cost_estimate=pl.CostEstimate(
             flops=conv_flops * (cin + cout) // cout,
             bytes_accessed=b * h * w * (cin + cout) * x.dtype.itemsize
@@ -314,8 +309,8 @@ def _pallas_impl(params, x, temb_proj, groups, eps, interpret):
 
 def _skipless_kernel(*refs, **kw):
     """`_kernel` arity without the shortcut operands (identity skip)."""
-    *main, o_ref, pad_ref = refs
-    _kernel(*main, None, None, o_ref, pad_ref, **kw)
+    *main, o_ref = refs
+    _kernel(*main, None, None, o_ref, **kw)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
