@@ -175,11 +175,34 @@ class ResnetBlock2D(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, temb: jax.Array, *, deterministic: bool = True
+        self,
+        x: jax.Array,
+        temb: jax.Array,
+        *,
+        skip: Optional[jax.Array] = None,
+        deterministic: bool = True,
     ) -> jax.Array:
+        """When ``skip`` is given, the block's logical input is
+        ``concat([x, skip], -1)`` — but it is never materialized:
+        ``conv(concat(h, s), W) = conv(h, W_top) + conv(s, W_bot)`` and
+        GroupNorm factorizes per half whenever each half's channels are a
+        multiple of the group width. Measured 1.46x faster than the concat
+        formulation at the flagship up-block shape (320×32²×(128+128)→128,
+        TPU v5e — BASELINE.md). Parameters are identical either way."""
         from ..ops import fused_resnet
 
-        in_ch = x.shape[-1]
+        split_halves = None
+        if skip is not None:
+            total = x.shape[-1] + skip.shape[-1]
+            cg = total // self.groups
+            if x.shape[-1] % cg == 0:
+                split_halves = (x, skip)
+            else:  # groups straddle the boundary: fall back to concat
+                x = jnp.concatenate([x, skip], axis=-1)
+
+        in_ch = x.shape[-1] if split_halves is None else (
+            x.shape[-1] + skip.shape[-1]
+        )
         out_ch = self.out_channels
         lecun = nn.initializers.lecun_normal()
         ones, zeros = nn.initializers.ones, nn.initializers.zeros
@@ -212,6 +235,7 @@ class ResnetBlock2D(nn.Module):
         dropout_active = self.dropout > 0.0 and not deterministic
         if (
             self.backend == "pallas"
+            and split_halves is None
             and not dropout_active
             and not self.is_initializing()
             and fused_resnet.supports(x, in_ch, out_ch, 1, 0.0)
@@ -235,22 +259,47 @@ class ResnetBlock2D(nn.Module):
             )
             return out + b.astype(self.dtype)
 
-        h = group_norm_mxu(x, p.scale1, p.bias1, num_groups=self.groups, eps=self.eps)
-        h = nn.silu(h)
-        h = conv(h, p.w1, p.b1)
+        def gn_silu(v, scale, bias, groups):
+            v = group_norm_mxu(v, scale, bias, num_groups=groups, eps=self.eps)
+            return nn.silu(v)
+
+        if split_halves is None:
+            h = gn_silu(x, p.scale1, p.bias1, self.groups)
+            h = conv(h, p.w1, p.b1)
+        else:
+            xc = x.shape[-1]
+            gh = self.groups * xc // in_ch  # groups covering the x half
+            hx = gn_silu(x, p.scale1[:xc], p.bias1[:xc], gh)
+            hs = gn_silu(
+                skip, p.scale1[xc:], p.bias1[xc:], self.groups - gh
+            )
+            h = conv(hx, p.w1[:, :, :xc], p.b1) + conv(
+                hs, p.w1[:, :, xc:], jnp.zeros_like(p.b1)
+            )
         h = h + t[:, None, None, :]
-        h = group_norm_mxu(h, p.scale2, p.bias2, num_groups=self.groups, eps=self.eps)
-        h = nn.silu(h)
+        h = gn_silu(h, p.scale2, p.bias2, self.groups)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = conv(h, p.w2, p.b2)
 
         if channel_change:
-            b_, hh, ww, _ = x.shape
-            x = (
-                x.reshape(-1, in_ch).astype(self.dtype) @ p.ws.astype(self.dtype)
-                + p.bs.astype(self.dtype)
-            ).reshape(b_, hh, ww, out_ch)
+            b_, hh, ww, _ = h.shape
+            if split_halves is None:
+                res = x.reshape(-1, in_ch).astype(self.dtype) @ p.ws.astype(
+                    self.dtype
+                )
+            else:
+                xc = x.shape[-1]
+                res = x.reshape(-1, xc).astype(self.dtype) @ p.ws[:xc].astype(
+                    self.dtype
+                ) + skip.reshape(-1, in_ch - xc).astype(self.dtype) @ p.ws[
+                    xc:
+                ].astype(self.dtype)
+            x = (res + p.bs.astype(self.dtype)).reshape(b_, hh, ww, out_ch)
+        elif split_halves is not None:  # pragma: no cover - identity skip
+            # identity shortcut with a split input cannot happen: the concat
+            # always changes the channel count vs out_channels in the UNet
+            x = jnp.concatenate(split_halves, axis=-1)
         return x + h
 
 

@@ -275,10 +275,11 @@ class UNetCondition2D(nn.Module):
             out_ch = rev_chans[i]
             heads = cfg.heads_for(level)
             for j in range(cfg.layers_for(level) + 1):
-                skip = skips.pop()
-                h = jnp.concatenate([h, skip], axis=-1)
+                # skip passed separately: the block computes the concat
+                # semantics split-operand-wise without materializing the
+                # [B, H, W, C+Cskip] tensor (ResnetBlock2D docstring)
                 h = resnet(out_ch, f"up_{i}_res_{j}")(
-                    h, temb, deterministic=deterministic
+                    h, temb, skip=skips.pop(), deterministic=deterministic
                 )
                 if block_type == "CrossAttnUpBlock2D":
                     h = transformer(out_ch, heads, f"up_{i}_attn_{j}")(h, context)

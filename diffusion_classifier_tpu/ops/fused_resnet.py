@@ -129,9 +129,13 @@ def _tile_batch(b: int, h: int, w: int, cin: int, cout: int) -> int:
             + 9 * (cin + cout) * cout * 2  # weights
         )
 
+    # Mosaic must statically prove the temb row-slice start (program_id·bt)
+    # is a multiple of 8, so bt must be %8 (or the grid must be one step).
     best = 0
     for bt in range(1, b + 1):
-        if b % bt == 0 and bytes_for(bt) <= _VMEM_BUDGET:
+        if b % bt != 0 or (bt % 8 != 0 and bt != b):
+            continue
+        if bytes_for(bt) <= _VMEM_BUDGET:
             best = bt
     return best
 

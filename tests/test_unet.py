@@ -202,3 +202,20 @@ def test_resnet_backend_pallas_matches_xla():
         want = np.asarray(xla_block.apply(params, x, temb), np.float32)
         got = np.asarray(pl_block.apply(params, x, temb), np.float32)
         assert np.abs(got - want).max() < 0.05 * np.abs(want).max(), (cin, cout)
+
+
+def test_resnet_block_split_skip_matches_concat():
+    """skip= split-operand path must equal the explicit concat formulation."""
+    from diffusion_classifier_tpu.models.layers import ResnetBlock2D
+
+    block = ResnetBlock2D(128, groups=32, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    h = jax.random.normal(rng, (2, 8, 8, 128), jnp.bfloat16)
+    s = jax.random.normal(jax.random.fold_in(rng, 1), (2, 8, 8, 128), jnp.bfloat16)
+    temb = jax.random.normal(jax.random.fold_in(rng, 2), (2, 64))
+
+    cat = jnp.concatenate([h, s], axis=-1)
+    params = block.init(rng, cat, temb)
+    want = np.asarray(block.apply(params, cat, temb), np.float32)
+    got = np.asarray(block.apply(params, h, temb, skip=s), np.float32)
+    assert np.abs(got - want).max() < 0.02 * np.abs(want).max()
