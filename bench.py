@@ -1,16 +1,17 @@
 """Headline benchmark: ELBO classification throughput (images/sec/chip).
 
 Primary metric (LAST line printed, driver contract): the framework's
-production classify path — prefix-split + class-chunked scoring
-(`diffusion_classifier_tpu/diffusion/classify.py`), fused resnet-block
-Pallas kernels when they win — against the reference's execution model:
-one denoiser forward per (evaluation, class)
+production classify path — explicit prefix hoisting + class-chunked scoring
+(`diffusion_classifier_tpu/diffusion/classify.py`) — against the
+reference's execution model: one denoiser forward per (evaluation, class)
 (`/root/reference/diffusion/diffusion_classifier.py:681-714`) rebuilt with
-the SAME protocol and an XLA-standard forward on the SAME chip as an
-on-device scan. That baseline is deliberately conservative: the real
-reference issues those forwards from Python and pays host-dispatch latency
-per call (and cannot hoist the conditioning-independent prefix across its
-per-class torch calls), which the on-device rebuild does not pay.
+the SAME protocol on the SAME chip as an on-device scan. ``vs_baseline``
+uses the faithful reconstruction (each per-class call recomputes the ENTIRE
+network, as the reference's torch calls do — an optimization_barrier stops
+XLA from granting the baseline our prefix sharing); the stricter round-1
+variant where XLA LICM hoists the prefix for the baseline too is reported
+alongside as ``vs_licm_hoisted_baseline``. Neither baseline pays the
+reference's real per-call Python/host-dispatch latency.
 
 Secondary metrics (earlier JSON lines): training-step images/sec, sampler
 steps/sec, and B=1 classification latency, so regressions in the other hot
@@ -39,9 +40,11 @@ TRAIN_BATCH = 64
 SAMPLER_STEPS = 32
 
 # production classify knobs at this operating point (measured sweeps in
-# BASELINE.md: scan of medium class-chunks beats one giant megabatch)
+# BASELINE.md: a scan of per-class chunks with the prefix explicitly hoisted
+# beats one giant megabatch; the fused-block pallas kernel measured slower
+# than XLA's conv emitters at these shapes, so the xla backend is default)
 CLASS_CHUNK = 1
-RESNET_BACKEND = "pallas"
+RESNET_BACKEND = "xla"
 
 
 def _timed_delta(fn1, fnR, repeats):
@@ -79,7 +82,7 @@ def main():
     from diffusion_classifier_tpu.engine.steps import make_loss_fn, make_train_step
 
     denoiser, size = _flagship()
-    # production serving backbone: same param tree, fused-block backend
+    # production serving backbone: same param tree, configured backend
     backbone = denoiser.backbone
     prod_cfg = dataclasses.replace(
         backbone.config, resnet_backend=RESNET_BACKEND
@@ -118,9 +121,11 @@ def main():
 
         return lambda seed: int(run(params, xx, ll, jnp.int32(seed)))
 
-    def measure(fn, xx=x, ll=labels):
+    def measure(fn, xx=x, ll=labels, chain=CHAIN):
+        # sub-10ms calls need a longer chain: the delta must dominate the
+        # relay's run-to-run latency jitter
         return _timed_delta(
-            chained(fn, 1, xx, ll), chained(fn, 1 + CHAIN, xx, ll), 1 + CHAIN
+            chained(fn, 1, xx, ll), chained(fn, 1 + chain, xx, ll), 1 + chain
         )
 
     # ---- secondary: training step (fwd+bwd+clip+Adam+EMA) ----
@@ -207,8 +212,20 @@ def main():
         tail_fn=tail_fn,
     )
 
-    # secondary: B=1 serving latency of the same path
-    lat_sec = measure(classify, xx=x[:1], ll=labels[:1])
+    # secondary: B=1 serving latency — the one-giant-megabatch formulation
+    # wins at B=1 (a class-chunk scan would leave the chip nearly idle)
+    classify_b1 = make_classifier(
+        prod_apply,
+        schedule_fn,
+        pred_param="v",
+        num_classes=CLASSES,
+        n_stages=1,
+        evaluation_per_stage=(EVALS,),
+        n_keep_per_stage=(1,),
+        encode_fn=encode_fn,
+        tail_fn=tail_fn,
+    )
+    lat_sec = measure(classify_b1, xx=x[:1], ll=labels[:1], chain=32)
     print(
         json.dumps(
             {
@@ -223,44 +240,61 @@ def main():
     fused_sec = measure(classify)
 
     # ---- reference execution model: per-(eval, class) forwards, on-device ----
-    def sequential_fn(params, x, labels, key):
-        del labels
+    # `faithful=True` reconstructs the reference's actual cost model: every
+    # per-class call recomputes the ENTIRE network (`:695-704`) — an
+    # iteration-dependent optimization_barrier stops XLA from hoisting the
+    # class-independent prefix out of the class scan, an optimization the
+    # host-driven torch loop cannot perform. `faithful=False` keeps round 1's
+    # deliberately over-strict variant where XLA's LICM grants the baseline
+    # our own prefix sharing (reported as vs_licm_hoisted_baseline).
+    def make_sequential(faithful):
+        def sequential_fn(params, x, labels, key):
+            del labels
 
-        def eval_body(total, key):
-            k_t, k_eps = jax.random.split(key)
-            t = jax.random.uniform(k_t, (BATCH,))
-            logsnr = schedule_fn(t)
-            a, s = alpha_sigma(logsnr)
-            eps = jax.random.normal(k_eps, x.shape)
-            z = bcast_right(a, 4) * x + bcast_right(s, 4) * eps
+            def eval_body(total, key):
+                k_t, k_eps = jax.random.split(key)
+                t = jax.random.uniform(k_t, (BATCH,))
+                logsnr = schedule_fn(t)
+                a, s = alpha_sigma(logsnr)
+                eps = jax.random.normal(k_eps, x.shape)
+                z = bcast_right(a, 4) * x + bcast_right(s, 4) * eps
 
-            def class_body(errs, c):
-                lab_c = jnp.full((BATCH,), c, jnp.int32)
-                pred = apply_fn(params, z, logsnr, lab_c)  # batch B forward
-                eps_pred = pred_to_eps(pred, z, a, s, "v")
-                err = jnp.sum((eps_pred - eps) ** 2, axis=(1, 2, 3))
-                return errs.at[:, c].set(err), None
+                def class_body(errs, c):
+                    if faithful:
+                        z_c, lg_c = jax.lax.optimization_barrier(
+                            (z + 0.0 * c.astype(z.dtype), logsnr)
+                        )
+                    else:
+                        z_c, lg_c = z, logsnr
+                    lab_c = jnp.full((BATCH,), c, jnp.int32)
+                    pred = apply_fn(params, z_c, lg_c, lab_c)  # batch B fwd
+                    eps_pred = pred_to_eps(pred, z_c, a, s, "v")
+                    err = jnp.sum((eps_pred - eps) ** 2, axis=(1, 2, 3))
+                    return errs.at[:, c].set(err), None
 
-            errs, _ = jax.lax.scan(
-                class_body, jnp.zeros((BATCH, CLASSES)), jnp.arange(CLASSES)
-            )
-            return total + errs, None
+                errs, _ = jax.lax.scan(
+                    class_body, jnp.zeros((BATCH, CLASSES)), jnp.arange(CLASSES)
+                )
+                return total + errs, None
 
-        keys = jax.random.split(key, EVALS)
-        total, _ = jax.lax.scan(eval_body, jnp.zeros((BATCH, CLASSES)), keys)
-        return jnp.argmin(total, axis=1)
+            keys = jax.random.split(key, EVALS)
+            total, _ = jax.lax.scan(eval_body, jnp.zeros((BATCH, CLASSES)), keys)
+            return jnp.argmin(total, axis=1)
 
-    seq_sec = measure(sequential_fn)
+        return sequential_fn
+
+    faithful_sec = measure(make_sequential(True))
+    licm_sec = measure(make_sequential(False))
 
     fused_ips = BATCH / fused_sec
-    seq_ips = BATCH / seq_sec
     print(
         json.dumps(
             {
                 "metric": "elbo_classify_images_per_sec",
                 "value": round(fused_ips, 3),
                 "unit": "images/sec",
-                "vs_baseline": round(fused_ips / seq_ips, 3),
+                "vs_baseline": round(faithful_sec / fused_sec, 3),
+                "vs_licm_hoisted_baseline": round(licm_sec / fused_sec, 3),
             }
         ),
         flush=True,
