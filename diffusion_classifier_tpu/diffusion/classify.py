@@ -74,9 +74,12 @@ def make_classifier(
     ``class_chunk`` scores candidates ``class_chunk`` classes at a time via
     an on-device scan instead of one giant megabatch — predictions are
     IDENTICAL for any value (the (t, ε) key derivation does not depend on
-    it); only the execution schedule changes. 0 = all classes at once.
-    Values that do not divide a stage's surviving-candidate count fall back
-    to no chunking for that stage.
+    it); only the execution schedule changes. 0 = all classes at once;
+    -1 = auto (chunk 1 at batch ≥ 16 where the scan's weight-stream
+    pipelining wins — BASELINE.md round-2 sweep — and the full megabatch at
+    small/serving batches where it keeps the chip busy). Values that do not
+    divide a stage's surviving-candidate count fall back to no chunking for
+    that stage.
 
     When ``encode_fn(params, z, logsnr) -> prefix_state`` and
     ``tail_fn(params, prefix_state, labels) -> pred`` are provided (UNet
@@ -129,7 +132,8 @@ def make_classifier(
         n_chunks = n_evals // group
         keys = jax.random.split(rng, n_chunks)
 
-        cc = class_chunk if class_chunk and k % class_chunk == 0 else k
+        chunk = class_chunk if class_chunk >= 0 else (1 if b >= 16 else 0)
+        cc = chunk if chunk and k % chunk == 0 else k
         n_cc = k // cc
 
         img_axes = tuple(range(1, x.ndim))  # spatial+channel axes of one image

@@ -82,9 +82,10 @@ class ExperimentConfig:
     n_keep_per_stage: Sequence[int] = (1,)
     # how many (class × eval) forwards to fuse into one device megabatch
     classify_chunk: int = 0  # 0 = auto
-    # classes scored per scan step inside classify (0 = all at once);
-    # identical predictions for any value, execution schedule only
-    classify_class_chunk: int = 0
+    # classes scored per scan step inside classify (0 = all at once,
+    # -1 = auto: 1 at batch >= 16, megabatch below); identical predictions
+    # for any value — execution schedule only
+    classify_class_chunk: int = -1
     # --- model extras ---
     patch_size: int = 2  # DiT
     variant: str = "resnet18"  # discriminative baseline
