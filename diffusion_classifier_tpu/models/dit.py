@@ -57,7 +57,7 @@ class DiTConfig:
     num_classes: int = 1000  # label table has num_classes + 1 rows (null token)
     norm_eps: float = 1e-5
     mlp_ratio: int = 4
-    attn_backend: str = "xla"
+    attn_backend: str = "auto"
 
     @property
     def hidden_dim(self) -> int:
@@ -79,7 +79,7 @@ class DiTBlock(nn.Module):
     head_dim: int
     mlp_ratio: int = 4
     dtype: jnp.dtype = jnp.float32
-    attn_backend: str = "xla"
+    attn_backend: str = "auto"
 
     @nn.compact
     def __call__(self, x: jax.Array, cond: jax.Array) -> jax.Array:

@@ -81,7 +81,7 @@ class UNetConfig:
     dropout: float = 0.0
     flip_sin_to_cos: bool = True
     freq_shift: float = 0.0
-    attn_backend: str = "xla"
+    attn_backend: str = "auto"
     resnet_backend: str = "xla"  # 'xla' | 'pallas' (fused block kernel)
 
     def __post_init__(self):

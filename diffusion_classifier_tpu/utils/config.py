@@ -92,7 +92,8 @@ class ExperimentConfig:
     pretrained: bool = False
     # --- runtime ---
     slurm: bool = False
-    attn_backend: str = "xla"  # 'xla' | 'pallas'
+    attn_backend: str = "auto"  # 'auto' | 'xla' | 'pallas' (auto: measured
+    # routing — pallas flash attention for sequences >= 512 tokens)
     resnet_backend: str = "xla"  # 'xla' | 'pallas' (fused resnet-block kernel)
     # debug/observability (SURVEY §5.2: the reference has no sanitizers; JAX
     # purity + these toggles are the TPU-native equivalent)

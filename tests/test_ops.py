@@ -146,3 +146,21 @@ def test_flash_attention_grad_matches_xla():
     g_x = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_p, g_x):
         assert jnp.allclose(a, b, atol=2e-3), float(jnp.abs(a - b).max())
+
+
+def test_attention_auto_routing_matches_xla():
+    """backend='auto' must be numerically equivalent to xla at both routes
+    (short sequence -> xla; long supported sequence -> pallas kernel)."""
+    import jax
+    import jax.numpy as jnp
+    from diffusion_classifier_tpu.ops.attention import attention
+
+    rng = jax.random.PRNGKey(0)
+    for shape in ((2, 64, 2, 32), (1, 512, 2, 32)):
+        kq, kk, kv = jax.random.split(jax.random.fold_in(rng, shape[1]), 3)
+        q = jax.random.normal(kq, shape)
+        k = jax.random.normal(kk, shape)
+        v = jax.random.normal(kv, shape)
+        want = attention(q, k, v, backend="xla")
+        got = attention(q, k, v, backend="auto")
+        assert jnp.allclose(got, want, atol=2e-3)
