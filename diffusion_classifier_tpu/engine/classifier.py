@@ -64,7 +64,9 @@ class Classifier:
             return
         x = jnp.asarray(np.asarray(sample_batch["images"], np.float32))
         self.variables = self.model.init(self._next_rng(), x, train=False)
-        self.variables = shard_params(self.mesh, self.variables)
+        self.variables = shard_params(
+            self.mesh, self.variables, self.config.param_sharding
+        )
         n = sum(
             int(np.prod(p.shape))
             for p in jax.tree.leaves(self.variables["params"])
@@ -275,11 +277,18 @@ class Classifier:
         state, epoch, best, key = load_checkpoint(
             checkpoint_path, self._ckpt_state()
         )
+        # keep each leaf's live placement (TP/FSDP shards) on restore
         self.variables = jax.device_put(
-            state["variables"], replicated(self.mesh)
+            state["variables"],
+            jax.tree.map(lambda a: a.sharding, self.variables),
         )
-        self._opt_state = jax.device_put(
-            state["opt_state"], replicated(self.mesh)
+        self._opt_state = (
+            jax.device_put(
+                state["opt_state"],
+                jax.tree.map(lambda a: a.sharding, self._opt_state),
+            )
+            if self._opt_state is not None
+            else jax.device_put(state["opt_state"], replicated(self.mesh))
         )
         print(f"Checkpoint loaded. Resuming from epoch {epoch}.")
         return epoch, best, key

@@ -185,8 +185,9 @@ class DiffusionClassifier:
         params = self.denoiser.init(
             self._next_rng(), x, jnp.zeros((x.shape[0],)), p
         )
-        # TP placement when the mesh has a model axis; replication otherwise
-        params = shard_params(self.mesh, params)
+        # TP placement over the model axis / FSDP over the data axis per
+        # config; optimizer + EMA state inherits the shards (state.py)
+        params = shard_params(self.mesh, params, self.config.param_sharding)
         n = sum(int(np.prod(q.shape)) for q in jax.tree.leaves(params))
         if self.is_main_process:
             print(f"Parameter count: {n}")
@@ -515,7 +516,12 @@ class DiffusionClassifier:
         state, epoch, best_metric, experiment_key = load_checkpoint(
             checkpoint_path, self.state
         )
-        self.state = jax.device_put(state, replicated(self.mesh))
+        # Re-place every leaf exactly where the live state had it (TP/FSDP
+        # shards included) — blanket replication would silently undo the
+        # configured placement on resume.
+        self.state = jax.device_put(
+            state, jax.tree.map(lambda a: a.sharding, self.state)
+        )
         print(
             f"Checkpoint loaded. Resuming from epoch {epoch}. Best metric {best_metric}"
         )

@@ -1,17 +1,29 @@
-"""Tensor-parallel parameter sharding rules over the 'model' mesh axis.
+"""Parameter placement rules: tensor-parallel and FSDP over the device mesh.
 
-The reference has no TP (SURVEY §2.3: DDP only; models are ≤~130M params),
-but the mesh here is first-class two-axis ``('data', 'model')`` — these
-rules make the 'model' axis real: the big matmul weights of the denoiser
-backbones shard Megatron-style (column-parallel into attention/FF, row-
-parallel out), and XLA's SPMD partitioner inserts the matching collectives.
+The reference has no TP or sharded optimizer state (SURVEY §2.3: DDP only;
+models are ≤~130M params), but the mesh here is first-class two-axis
+``('data', 'model')`` and both sharding families are supported:
+
+- **TP** (``'model'`` axis): the big matmul weights of the denoiser
+  backbones shard Megatron-style (column-parallel into attention/FF,
+  row-parallel out), and XLA's SPMD partitioner inserts the matching
+  collectives.
+- **FSDP / ZeRO-3** (``param_sharding='fsdp'``): every large parameter is
+  additionally sharded over the ``'data'`` axis (largest divisible dim).
+  XLA all-gathers each weight just-in-time for its op and reduce-scatters
+  its gradient, and — because the optimizer/EMA state is created with
+  ``zeros_like``/``copy`` from the placed params (`engine/state.py`) — the
+  Adam moments and EMA tree inherit the same shards: per-device state
+  memory drops by ~the data-axis size, the ZeRO-3 property.
+
 Any placement is semantically exact under GSPMD — these rules only choose
-WHERE the bytes live — so the TP path needs no bespoke collective code
+WHERE the bytes live — so neither path needs bespoke collective code
 (the same property the DP axis relies on, `parallel/mesh.py`).
 
-Convolutions and norms stay replicated: at reference model sizes their
-weights are small, and channel-sharded convs buy nothing until the FF/attn
-weights dominate.
+Convolutions and norms stay replicated under TP: at reference model sizes
+their weights are small, and channel-sharded convs buy nothing until the
+FF/attn weights dominate. Under FSDP they shard like everything else —
+the rule is byte-driven, not op-driven.
 """
 
 from __future__ import annotations
@@ -19,7 +31,12 @@ from __future__ import annotations
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["param_spec", "shard_params"]
+__all__ = ["param_spec", "fsdp_spec", "shard_params"]
+
+# params smaller than this stay replicated under FSDP: the all-gather
+# latency of many tiny tensors outweighs the bytes saved (biases, norm
+# scales, time-embedding tables)
+FSDP_MIN_PARAM = 2**16
 
 # column-parallel (shard the OUTPUT features): projections whose outputs
 # feed a sharded elementwise region (attention heads, GEGLU gate)
@@ -42,20 +59,52 @@ def param_spec(path: str, value) -> P:
     return P()
 
 
-def shard_params(mesh: Mesh, params):
-    """Place a param pytree on ``mesh``: TP rules when the 'model' axis has
-    size > 1, plain replication otherwise."""
-    if mesh.shape.get("model", 1) == 1:
+def fsdp_spec(spec: P, value, axis_size: int, min_size: int = None) -> P:
+    """Add 'data' sharding to ``spec`` on the largest free divisible dim.
+
+    ``spec`` is the parameter's TP placement (``P()`` when TP is off); the
+    'data' axis goes on the largest dimension that is not already sharded
+    and divides evenly. Small params stay as-is (see ``FSDP_MIN_PARAM``).
+    """
+    if value.size < (FSDP_MIN_PARAM if min_size is None else min_size):
+        return spec
+    entries = list(spec) + [None] * (value.ndim - len(spec))
+    best_dim, best_extent = None, 0
+    for d, (extent, taken) in enumerate(zip(value.shape, entries)):
+        if taken is None and extent % axis_size == 0 and extent > best_extent:
+            best_dim, best_extent = d, extent
+    if best_dim is None:
+        return spec
+    entries[best_dim] = "data"
+    return P(*entries)
+
+
+def shard_params(
+    mesh: Mesh, params, mode: str = "tp", *, fsdp_min_size: int = None
+):
+    """Place a param pytree on ``mesh``.
+
+    ``mode='tp'`` (default): Megatron rules over the 'model' axis when it has
+    size > 1, plain replication otherwise. ``mode='fsdp'``: additionally
+    shard every large param over the 'data' axis (ZeRO-3 placement; composes
+    with TP when both axes are > 1). ``mode='replicated'``: force replication.
+    """
+    assert mode in ("tp", "fsdp", "replicated"), mode
+    tp = mesh.shape.get("model", 1) > 1 and mode != "replicated"
+    fsdp = mode == "fsdp" and mesh.shape.get("data", 1) > 1
+    if not tp and not fsdp:
         return jax.device_put(params, NamedSharding(mesh, P()))
 
     def place(path_entries, leaf):
         path = "/".join(str(getattr(p, "key", p)) for p in path_entries)
-        spec = param_spec(path, leaf)
+        spec = param_spec(path, leaf) if tp else P()
         # a dim must be divisible by the axis size to shard it
         for dim, axis in zip(leaf.shape, spec):
             if axis == "model" and dim % mesh.shape["model"] != 0:
                 spec = P()
                 break
+        if fsdp:
+            spec = fsdp_spec(spec, leaf, mesh.shape["data"], fsdp_min_size)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)

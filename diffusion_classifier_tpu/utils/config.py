@@ -92,6 +92,11 @@ class ExperimentConfig:
     pretrained: bool = False
     # --- runtime ---
     slurm: bool = False
+    # parameter/optimizer-state placement over the mesh: 'tp' shards the big
+    # matmul weights over the 'model' axis (no-op on a 1-wide model axis);
+    # 'fsdp' additionally shards every large param + its Adam/EMA state over
+    # the 'data' axis (ZeRO-3); 'replicated' forces full replication
+    param_sharding: str = "tp"  # 'tp' | 'fsdp' | 'replicated'
     attn_backend: str = "auto"  # 'auto' | 'xla' | 'pallas' (auto: measured
     # routing — pallas flash attention for sequences >= 512 tokens)
     resnet_backend: str = "xla"  # 'xla' | 'pallas' (fused resnet-block kernel)
@@ -121,6 +126,10 @@ class ExperimentConfig:
             f"mixed_precision must be 'bf16' or 'no' (got "
             f"{self.mixed_precision!r}; fp16 is not supported on TPU — "
             f"use 'bf16')"
+        )
+        assert self.param_sharding in ("tp", "fsdp", "replicated"), (
+            f"param_sharding must be 'tp', 'fsdp' or 'replicated' "
+            f"(got {self.param_sharding!r})"
         )
         ev = tuple(self.evaluation_per_stage)
         nk = tuple(self.n_keep_per_stage)

@@ -1,0 +1,225 @@
+"""FSDP (ZeRO-3) parameter placement over the 'data' mesh axis.
+
+GSPMD guarantees exactness for any placement; these tests check (a) the
+FSDP rule shards large params over 'data' (and composes with TP), (b) the
+forward matches the replicated placement, (c) a train step runs with the
+optimizer/EMA state inheriting the shards — the ZeRO-3 memory property —
+and matches the replicated step's loss.
+
+The reference has no analog (DDP replicates params + optimizer state on
+every rank, `diffusion/diffusion_classifier.py:375-386`).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from diffusion_classifier_tpu.engine.denoiser import Denoiser
+from diffusion_classifier_tpu.models import UNetCondition2D, UNetConfig
+from diffusion_classifier_tpu.models.encoders import ClassEmbedder
+from diffusion_classifier_tpu.parallel.mesh import make_mesh, shard_batch
+from diffusion_classifier_tpu.parallel.sharding import fsdp_spec, shard_params
+
+
+def _tiny_denoiser():
+    cfg = UNetConfig(
+        sample_size=8, in_channels=3, out_channels=3,
+        block_out_channels=(16, 32),
+        down_block_types=("DownBlock2D", "CrossAttnDownBlock2D"),
+        up_block_types=("CrossAttnUpBlock2D", "UpBlock2D"),
+        layers_per_block=1, attention_head_dim=2, cross_attention_dim=16,
+        encoder_hid_dim=16, encoder_hid_dim_type="text_proj", norm_num_groups=8,
+    )
+    return Denoiser(
+        backbone=UNetCondition2D(cfg), encoder=ClassEmbedder(4, 16)
+    )
+
+
+def test_fsdp_spec_rules():
+    # large 2D weight: largest divisible dim gets 'data'
+    w = jnp.zeros((256, 1024))
+    assert fsdp_spec(P(), w, axis_size=8, min_size=1) == P(None, "data")
+    # TP already on dim 1 -> 'data' goes to dim 0
+    assert fsdp_spec(P(None, "model"), w, axis_size=8, min_size=1) == P(
+        "data", "model"
+    )
+    # small params stay put (min_size gate)
+    assert fsdp_spec(P(), jnp.zeros((16,)), axis_size=8) == P()
+    # nothing divisible -> unchanged
+    assert fsdp_spec(P(), jnp.zeros((3, 5)), axis_size=8, min_size=1) == P()
+    # conv kernel: channel dims shard, 3x3 window dims don't
+    k = jnp.zeros((3, 3, 64, 128))
+    assert fsdp_spec(P(), k, axis_size=8, min_size=1) == P(
+        None, None, None, "data"
+    )
+
+
+def test_fsdp_forward_matches_replicated():
+    denoiser = _tiny_denoiser()
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (8, 8, 8, 3))
+    lg = jnp.zeros((8,))
+    lab = jnp.zeros((8,), jnp.int32)
+    params = denoiser.init(rng, x, lg, lab)
+
+    want = np.asarray(denoiser.apply(params, x, lg, lab))
+
+    mesh = make_mesh(data=8, model=1)
+    fs_params = shard_params(mesh, params, "fsdp", fsdp_min_size=1)
+    specs = [
+        leaf.sharding.spec
+        for leaf in jax.tree.leaves(fs_params)
+        if hasattr(leaf, "sharding")
+    ]
+    assert any("data" in str(s) for s in specs), "nothing sharded over data"
+
+    with mesh:
+        dev = shard_batch(mesh, {"images": np.asarray(x), "prompt": np.asarray(lab)})
+        got = np.asarray(
+            jax.jit(denoiser.apply)(fs_params, dev["images"], lg, dev["prompt"])
+        )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_fsdp_train_step_matches_replicated():
+    from diffusion_classifier_tpu.diffusion.schedule import make_schedule_fn
+    from diffusion_classifier_tpu.engine.state import (
+        EmaConfig, init_train_state, make_optimizer,
+    )
+    from diffusion_classifier_tpu.engine.steps import make_loss_fn, make_train_step
+
+    denoiser = _tiny_denoiser()
+    rng = jax.random.PRNGKey(0)
+    x = np.random.default_rng(0).standard_normal((8, 8, 8, 3)).astype(np.float32)
+    lab = np.zeros((8,), np.int32)
+    params = denoiser.init(rng, jnp.asarray(x), jnp.zeros((8,)), jnp.asarray(lab))
+
+    schedule_fn = make_schedule_fn("shifted_cosine", 8, 8)
+    loss_fn = make_loss_fn(
+        lambda p, z, lg, l: denoiser.apply(p, z, lg, l),
+        schedule_fn, pred_param="v", null_token=4,
+    )
+    tx = make_optimizer(1e-4, 2, 10)
+
+    def run(mode):
+        mesh = make_mesh(data=8, model=1)
+        placed = shard_params(mesh, params, mode, fsdp_min_size=1)
+        state = init_train_state(placed, tx)
+        if mode == "fsdp":
+            # ZeRO-3 property: Adam moments + EMA inherit the param shards
+            def sharded(tree):
+                return any(
+                    "data" in str(getattr(leaf.sharding, "spec", ""))
+                    for leaf in jax.tree.leaves(tree)
+                    if hasattr(leaf, "sharding")
+                )
+
+            assert sharded(state.ema_params)
+            assert sharded(state.opt_state)
+        # donate=False: both runs share the source param tree; donating the
+        # first run's state would delete aliased source leaves on CPU
+        step = make_train_step(loss_fn, tx, EmaConfig(), donate=False)
+        with mesh:
+            dev = shard_batch(mesh, {"images": x, "prompt": lab})
+            state, loss = step(
+                state, dev["images"], dev["prompt"], jax.random.PRNGKey(1)
+            )
+            return state, float(jax.block_until_ready(loss))
+
+    state_r, loss_r = run("replicated")
+    state_f, loss_f = run("fsdp")
+    assert np.isfinite(loss_f)
+    np.testing.assert_allclose(loss_f, loss_r, rtol=1e-5)
+    # updated params agree leaf-for-leaf
+    for a, b in zip(
+        jax.tree.leaves(state_r.params), jax.tree.leaves(state_f.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        )
+
+
+def test_fsdp_composes_with_tp():
+    denoiser = _tiny_denoiser()
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (8, 8, 8, 3))
+    lg = jnp.zeros((8,))
+    lab = jnp.zeros((8,), jnp.int32)
+    params = denoiser.init(rng, x, lg, lab)
+    want = np.asarray(denoiser.apply(params, x, lg, lab))
+
+    mesh = make_mesh(data=4, model=2)
+    placed = shard_params(mesh, params, "fsdp", fsdp_min_size=1)
+    specs = [
+        str(leaf.sharding.spec)
+        for leaf in jax.tree.leaves(placed)
+        if hasattr(leaf, "sharding")
+    ]
+    assert any("data" in s for s in specs)
+    assert any("model" in s for s in specs)
+
+    with mesh:
+        dev = shard_batch(mesh, {"images": np.asarray(x), "prompt": np.asarray(lab)})
+        got = np.asarray(
+            jax.jit(denoiser.apply)(placed, dev["images"], lg, dev["prompt"])
+        )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_engine_fsdp_end_to_end(tmp_path, monkeypatch):
+    """DiffusionClassifier with param_sharding='fsdp': train + classify +
+    checkpoint resume keep the sharded placement (engine integration)."""
+    import diffusion_classifier_tpu.parallel.sharding as sharding_mod
+    from diffusion_classifier_tpu.data.synthetic import SyntheticDataLoader
+    from diffusion_classifier_tpu.engine import DiffusionClassifier
+    from diffusion_classifier_tpu.utils.config import ExperimentConfig
+
+    monkeypatch.setattr(sharding_mod, "FSDP_MIN_PARAM", 1)
+
+    cfg = ExperimentConfig(
+        pred_param="v", schedule="cosine", noise_d=8, image_size=8,
+        image_channels=1, classes=2, cfg_w=0.0, ema_beta=0.99, ema_warmup=0,
+        ema_update_freq=1, mixed_precision="no", num_epochs=1,
+        save_image_epochs=10, evaluation_batches=1, sampling_steps=2,
+        batch_size=16, learning_rate=2e-3, lr_warmup_steps=5, n_stages=1,
+        evaluation_per_stage=(2,), n_keep_per_stage=(1,),
+        project_root=str(tmp_path), experiment_dir="run", use_comet=False,
+        param_sharding="fsdp",
+    )
+    backbone = UNetCondition2D(
+        UNetConfig(
+            sample_size=8, in_channels=1, out_channels=1,
+            block_out_channels=(16, 32),
+            down_block_types=("DownBlock2D", "CrossAttnDownBlock2D"),
+            up_block_types=("CrossAttnUpBlock2D", "UpBlock2D"),
+            layers_per_block=1, attention_head_dim=2, cross_attention_dim=16,
+            encoder_hid_dim=16, encoder_hid_dim_type="text_proj",
+            norm_num_groups=8,
+        )
+    )
+    data = SyntheticDataLoader(
+        num_train=32, num_val=16, batch_size=16, image_size=8, channels=1,
+        classes=2, seed=0,
+    )
+    engine = DiffusionClassifier(backbone, cfg)
+    engine.train_loop(data.get_train_loader(), data.get_val_loader())
+
+    def sharded(tree):
+        return any(
+            "data" in str(getattr(leaf.sharding, "spec", ""))
+            for leaf in jax.tree.leaves(tree)
+            if hasattr(leaf, "sharding")
+        )
+
+    assert sharded(engine.state.params), "params not FSDP-sharded"
+    assert sharded(engine.state.opt_state), "opt state not FSDP-sharded"
+
+    batch = next(iter(data.get_val_loader()))
+    preds = engine.classify(batch["images"], batch["prompt"])
+    assert preds.shape == (16,)
+
+    # resume re-places leaves where the live state had them (not replicated)
+    import os
+    engine.load_checkpoint(os.path.join(cfg.experiment_path, "checkpoints"))
+    assert sharded(engine.state.params), "restore dropped the FSDP placement"
