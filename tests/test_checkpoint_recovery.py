@@ -1,0 +1,119 @@
+"""Crash-safety tests for the checkpoint directory swap and the prefetcher.
+
+The reference's checkpointing (`diffusion/diffusion_classifier.py:727-805`)
+relies on Accelerate and has no crash-window story; here saves go through a
+two-rename directory swap (`utils/checkpoint.py:_atomic_save`) whose every
+interruption point must still leave a loadable checkpoint
+(`_resolve_state_dir`). These tests simulate each crash window by arranging
+the directory layout the crash would leave behind.
+"""
+
+import os
+import shutil
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_classifier_tpu.data.loader import MapDataLoader, Prefetcher
+from diffusion_classifier_tpu.utils.checkpoint import (
+    load_checkpoint,
+    save_checkpoint,
+)
+
+
+def _state(value: float):
+    return {"w": jnp.full((4,), value, jnp.float32), "step": jnp.int32(7)}
+
+
+def _abstract():
+    return _state(0.0)
+
+
+def _assert_loads(path, expected_value, expected_epoch):
+    state, epoch, best, key = load_checkpoint(path, _abstract())
+    np.testing.assert_allclose(np.asarray(state["w"]), expected_value)
+    assert epoch == expected_epoch
+
+
+def test_save_load_roundtrip(tmp_path):
+    exp = str(tmp_path)
+    save_checkpoint(exp, _state(1.0), epoch=3, best_metric=0.5, best=True)
+    _assert_loads(os.path.join(exp, "checkpoints"), 1.0, 4)
+    _assert_loads(os.path.join(exp, "best_checkpoint"), 1.0, 4)
+
+
+def test_recovers_from_crash_between_renames(tmp_path):
+    """Crash after `state` -> `state.old` but before `state.new` -> `state`:
+    both a complete .new and the previous .old exist, no `state`. Restore
+    must prefer the newer `.new`."""
+    exp = str(tmp_path)
+    save_checkpoint(exp, _state(1.0), epoch=1)
+    ckpt = os.path.join(exp, "checkpoints")
+    # Second save, then rewind its final rename: state -> state.new, and
+    # resurrect the first save as state.old.
+    save_checkpoint(exp, _state(2.0), epoch=2)
+    final = os.path.join(ckpt, "state")
+    os.rename(final, final + ".new")
+    save_dir_v1 = os.path.join(str(tmp_path), "v1")
+    save_checkpoint(save_dir_v1, _state(1.0), epoch=1)
+    shutil.copytree(os.path.join(save_dir_v1, "checkpoints", "state"), final + ".old")
+    _assert_loads(ckpt, 2.0, 3)
+
+
+def test_recovers_from_old_only(tmp_path):
+    """Crash just after `state` -> `state.old` with `.new` also lost (e.g.
+    torn write cleaned up manually): the previous checkpoint still loads."""
+    exp = str(tmp_path)
+    save_checkpoint(exp, _state(1.0), epoch=1)
+    ckpt = os.path.join(exp, "checkpoints")
+    final = os.path.join(ckpt, "state")
+    os.rename(final, final + ".old")
+    _assert_loads(ckpt, 1.0, 2)
+
+
+def test_stale_leftovers_cleaned_on_next_save(tmp_path):
+    """A non-empty leftover `.old`/`.new` from an earlier crash must not make
+    the next save's renames raise (the round-1 advisor finding)."""
+    exp = str(tmp_path)
+    save_checkpoint(exp, _state(1.0), epoch=1)
+    ckpt = os.path.join(exp, "checkpoints")
+    final = os.path.join(ckpt, "state")
+    shutil.copytree(final, final + ".old")
+    shutil.copytree(final, final + ".new")
+    save_checkpoint(exp, _state(3.0), epoch=5)  # must not raise
+    _assert_loads(ckpt, 3.0, 6)
+    assert not os.path.exists(final + ".old")
+    assert not os.path.exists(final + ".new")
+
+
+def test_prefetcher_propagates_worker_errors():
+    """A decode failure mid-epoch must raise in the consumer, not silently
+    truncate the epoch (the round-1 advisor finding)."""
+
+    def load_fn(i):
+        if i >= 4:
+            raise IOError(f"decode failed for item {i}")
+        return np.zeros((2, 2, 1), np.float32), 0
+
+    loader = MapDataLoader(
+        8, load_fn, batch_size=2, shuffle=False, process_index=0, process_count=1
+    )
+    seen = 0
+    with pytest.raises(IOError, match="decode failed"):
+        for _ in Prefetcher(loader, depth=1):
+            seen += 1
+    assert seen == 2  # the two good batches arrived before the error
+
+
+def test_prefetcher_clean_epoch():
+    def load_fn(i):
+        return np.full((2, 2, 1), i, np.float32), i
+
+    loader = MapDataLoader(
+        6, load_fn, batch_size=2, shuffle=False, process_index=0, process_count=1
+    )
+    batches = list(Prefetcher(loader))
+    assert len(batches) == 3
+    assert batches[0]["images"].shape == (2, 2, 2, 1)
+    assert batches[2]["prompt"].tolist() == [4, 5]
