@@ -268,18 +268,22 @@ class IPMSADataset:
                 parts = line.strip().split("/")
                 blocked.add((parts[1], parts[2]))
 
-        keep = []
+        keep, dropped = [], set()
         for idx, key in enumerate(self.sample_keys):
             ids = self._sample_ids(idx)
             if (ids["trial_id"], ids["patient_id"]) in blocked:
                 print(f"Sample {idx} is inactive")
+                dropped.add(key)
             else:
                 keep.append(key)
 
         self.sample_keys = keep
-        kept = set(keep)
+        # Remove ONLY the blocked keys: when this dataset was built with a
+        # num_samples subset, index entries outside the subset must survive
+        # into the re-pickled file (the reference filters by inactive
+        # position and likewise keeps unscanned entries, `:231-232`).
         self.dataset_dict = {
-            k: v for k, v in self.dataset_dict.items() if k in kept
+            k: v for k, v in self.dataset_dict.items() if k not in dropped
         }
         output_path = self.index_path.replace(".pkl", f"_{name}.pkl")
         with open(output_path, "wb") as f:

@@ -35,6 +35,10 @@ def _process_slice(
     batch_size: int, process_index: Optional[int], process_count: Optional[int]
 ) -> slice:
     """This process's contiguous row slice of a global batch."""
+    assert (process_index is None) == (process_count is None), (
+        "pass BOTH process_index and process_count, or neither "
+        "(neither = take them from the jax runtime)"
+    )
     if process_count is None:
         import jax
 

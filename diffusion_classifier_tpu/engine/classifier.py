@@ -20,7 +20,7 @@ import optax
 from flax import linen as nn
 
 from ..parallel.mesh import local_rows, make_mesh, replicated, shard_batch
-from ..parallel.sharding import shard_params
+from ..parallel.sharding import restore_placement, shard_params
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from ..utils.config import ExperimentConfig
 from ..utils.tracking import make_tracker
@@ -277,15 +277,15 @@ class Classifier:
         state, epoch, best, key = load_checkpoint(
             checkpoint_path, self._ckpt_state()
         )
-        # keep each leaf's live placement (TP/FSDP shards) on restore
+        # keep each mesh-placed leaf's live placement (TP/FSDP shards) on
+        # restore; uncommitted scalars replicate (restore_placement)
         self.variables = jax.device_put(
-            state["variables"],
-            jax.tree.map(lambda a: a.sharding, self.variables),
+            state["variables"], restore_placement(self.mesh, self.variables)
         )
         self._opt_state = (
             jax.device_put(
                 state["opt_state"],
-                jax.tree.map(lambda a: a.sharding, self._opt_state),
+                restore_placement(self.mesh, self._opt_state),
             )
             if self._opt_state is not None
             else jax.device_put(state["opt_state"], replicated(self.mesh))

@@ -40,7 +40,7 @@ from ..diffusion.schedule import make_schedule_fn
 from ..models.encoders import make_encoder
 from ..ops.wavelet import haar_dwt2
 from ..parallel.mesh import local_rows, make_mesh, replicated, shard_batch
-from ..parallel.sharding import shard_params
+from ..parallel.sharding import restore_placement, shard_params
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from ..utils.config import ExperimentConfig
 from ..utils.tracking import make_tracker
@@ -516,11 +516,12 @@ class DiffusionClassifier:
         state, epoch, best_metric, experiment_key = load_checkpoint(
             checkpoint_path, self.state
         )
-        # Re-place every leaf exactly where the live state had it (TP/FSDP
-        # shards included) — blanket replication would silently undo the
-        # configured placement on resume.
+        # Re-place mesh-placed leaves exactly where the live state had them
+        # (TP/FSDP shards included — blanket replication would silently undo
+        # the configured placement on resume); uncommitted scalars replicate
+        # (see parallel.sharding.restore_placement).
         self.state = jax.device_put(
-            state, jax.tree.map(lambda a: a.sharding, self.state)
+            state, restore_placement(self.mesh, self.state)
         )
         print(
             f"Checkpoint loaded. Resuming from epoch {epoch}. Best metric {best_metric}"

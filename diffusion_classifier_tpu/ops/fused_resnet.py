@@ -286,7 +286,11 @@ def _pallas_impl(params, x, temb_proj, groups, eps, interpret):
             _skipless_kernel, H=h, W=w, groups=groups, eps=eps
         )
 
-    conv_flops = 2 * 9 * h * (w + 2) * cout * b
+    # Per-output-element MAC cost of one 3x3 conv producing cout channels
+    # from c_in input channels is 9·c_in·cout; conv1 reads cin, conv2 reads
+    # cout, so the two convs total 9·h·(w+2)·(cin + cout)·cout MACs (×2 for
+    # multiply+add). The (w+2) reflects the halo columns each row convolves.
+    conv_flops = 2 * 9 * h * (w + 2) * (cin + cout) * cout * b
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, h, w, cout), x.dtype),
@@ -296,7 +300,7 @@ def _pallas_impl(params, x, temb_proj, groups, eps, interpret):
             (bt, h, w, cout), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
         cost_estimate=pl.CostEstimate(
-            flops=conv_flops * (cin + cout) // cout,
+            flops=conv_flops,
             bytes_accessed=b * h * w * (cin + cout) * x.dtype.itemsize
             + 9 * (cin + cout) * cout * 2,
             transcendentals=b * h * w * (cin + cout),
@@ -329,11 +333,14 @@ def _fwd(params, x, temb_proj, groups, eps, interpret):
 
 def _bwd(groups, eps, interpret, residuals, g):
     params, x, temb_proj = residuals
-    _, vjp = jax.vjp(
+    ref_out, vjp = jax.vjp(
         lambda p, xi, t: resnet_block_ref(p, xi, t, groups=groups, eps=eps),
         params, x, temb_proj,
     )
-    dp, dx, dt = vjp(g.astype(jnp.float32))
+    # The cotangent must match the reference function's OWN output dtype
+    # (bf16 activations ⇒ bf16 pullback input; fp32 would make jax.vjp
+    # reject the cotangent).
+    dp, dx, dt = vjp(g.astype(ref_out.dtype))
     return dp, dx.astype(x.dtype), dt.astype(temb_proj.dtype)
 
 

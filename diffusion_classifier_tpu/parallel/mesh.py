@@ -115,7 +115,17 @@ def local_rows(arr) -> np.ndarray:
     """
     if isinstance(arr, np.ndarray) or arr.is_fully_addressable:
         return np.asarray(arr)
-    shards = sorted(  # pragma: no cover - needs a real multi-process run
-        arr.addressable_shards, key=lambda s: (s.index[0].start or 0)
-    )
+    # Dedup shards covering the same row range: under a model axis > 1 (TP)
+    # or a compiler-replicated output, several local devices hold identical
+    # copies of each row slice — concatenating them all would double-count
+    # rows against the loader's host-local batch.
+    seen = set()  # pragma: no cover - needs a real multi-process run
+    shards = []
+    for s in arr.addressable_shards:
+        start = s.index[0].start or 0
+        if start in seen:
+            continue
+        seen.add(start)
+        shards.append(s)
+    shards.sort(key=lambda s: (s.index[0].start or 0))
     return np.concatenate([np.asarray(s.data) for s in shards], axis=0)

@@ -31,7 +31,7 @@ from __future__ import annotations
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["param_spec", "fsdp_spec", "shard_params"]
+__all__ = ["param_spec", "fsdp_spec", "shard_params", "restore_placement"]
 
 # params smaller than this stay replicated under FSDP: the all-gather
 # latency of many tiny tensors outweighs the bytes saved (biases, norm
@@ -108,3 +108,23 @@ def shard_params(
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)
+
+
+def restore_placement(mesh: Mesh, live_tree):
+    """Target shardings for re-placing a restored checkpoint pytree.
+
+    Mesh-placed leaves (NamedSharding: TP/FSDP shards, jit outputs) keep
+    their exact placement. Anything else — e.g. uncommitted single-device
+    scalars like a fresh ``step`` counter — maps to replication: copying its
+    single-device sharding verbatim would COMMIT the restored leaf to that
+    one device, and a later jit over mesh-placed params then fails with
+    "incompatible devices" (committed single-device scalar vs 8-device
+    params).
+    """
+    rep = NamedSharding(mesh, P())
+
+    def target(a):
+        s = getattr(a, "sharding", None)
+        return s if isinstance(s, NamedSharding) else rep
+
+    return jax.tree.map(target, live_tree)

@@ -34,16 +34,24 @@ def _atomic_save(checkpointer: ocp.StandardCheckpointer, directory: str, state):
 
     POSIX cannot rename over a non-empty directory, so a directory swap is
     necessarily two renames with a window where ``state`` is absent. Safety
-    comes from (a) cleaning stale ``.new``/``.old`` leftovers of an earlier
-    crash *before* writing (a leftover ``.old`` would make the swap's rename
-    raise), and (b) :func:`_resolve_state_dir` falling back to a fully
-    written ``.new`` (newer) or ``.old`` (previous) directory on restore, so
-    every crash point leaves a loadable checkpoint.
+    comes from (a) FINISHING an interrupted swap first (a ``.new`` with no
+    ``state`` is the newest complete checkpoint — renaming it into place
+    keeps it loadable even if the upcoming save is itself interrupted),
+    (b) cleaning the remaining stale leftovers *before* writing (a leftover
+    ``.old`` would make the swap's rename raise), and (c)
+    :func:`_resolve_state_dir` falling back to a fully written ``.new``
+    (newer) or ``.old`` (previous) directory on restore — so every crash
+    point leaves a loadable checkpoint.
     """
     final = os.path.join(directory, _STATE)
     tmp, old = final + ".new", final + ".old"
+    if not os.path.exists(final) and os.path.exists(tmp):
+        # Interrupted swap: this .new is the directory's newest complete
+        # checkpoint — FINISH the swap rather than deleting it, so a second
+        # crash during the upcoming save still leaves it loadable.
+        os.rename(tmp, final)
     for stale in (tmp, old):
-        if os.path.exists(stale):
+        if os.path.exists(stale) and os.path.exists(final):
             shutil.rmtree(stale)
     checkpointer.save(tmp, state)
     checkpointer.wait_until_finished()  # tmp is complete before any rename
@@ -121,8 +129,15 @@ def load_checkpoint(
         # entirely (models/layers.py CrossAttention), so such checkpoints
         # structurally lack to_q/to_k and cannot be loaded into a model
         # built for multi-token (e.g. t5) contexts, and vice versa. Surface
-        # that instead of Orbax's raw pytree mismatch.
-        if "to_q" in str(e) or "to_k" in str(e):
+        # that instead of Orbax's raw pytree mismatch — but only for the
+        # STRUCTURAL (missing/extra tree key) case; shape/dtype mismatches
+        # on a to_q leaf (e.g. a changed cross_attention_dim) must keep
+        # their original error.
+        msg = str(e)
+        structural = (
+            "structures do not match" in msg or "missing" in msg.lower()
+        )
+        if structural and ("to_q" in msg or "to_k" in msg):
             raise ValueError(
                 "Checkpoint/model mismatch on cross-attention q/k "
                 "projections: models initialized with single-token contexts "

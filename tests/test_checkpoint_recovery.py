@@ -117,3 +117,61 @@ def test_prefetcher_clean_epoch():
     assert len(batches) == 3
     assert batches[0]["images"].shape == (2, 2, 2, 1)
     assert batches[2]["prompt"].tolist() == [4, 5]
+
+
+class _FailingCheckpointer:
+    """Checkpointer whose save always dies mid-write (preemption stand-in)."""
+
+    def save(self, path, state):
+        os.makedirs(path, exist_ok=True)  # torn partial write
+        raise RuntimeError("preempted mid-save")
+
+    def wait_until_finished(self):
+        pass
+
+
+def test_interrupted_swap_survives_failed_next_save(tmp_path):
+    """After a crash between the two swap renames, the complete `state.new`
+    is the directory's ONLY checkpoint. The next save must finish the swap
+    (rename .new into place) before writing — so even if that save is itself
+    preempted, the checkpoint stays loadable."""
+    exp = str(tmp_path)
+    save_checkpoint(exp, _state(2.0), epoch=2)
+    ckpt = os.path.join(exp, "checkpoints")
+    final = os.path.join(ckpt, "state")
+    os.rename(final, final + ".new")  # crash-between-renames layout
+
+    with pytest.raises(RuntimeError, match="preempted"):
+        save_checkpoint(
+            exp, _state(9.0), epoch=9, checkpointer=_FailingCheckpointer()
+        )
+    _assert_loads(ckpt, 2.0, 3)
+
+
+def test_process_slice_requires_both_or_neither():
+    """Passing only one of process_index/process_count is a silent-wrong-data
+    hazard (the lone index would be overwritten by the jax runtime) — it must
+    be rejected loudly."""
+    with pytest.raises(AssertionError, match="BOTH"):
+        MapDataLoader(
+            8,
+            lambda i: (np.zeros((2, 2, 1), np.float32), 0),
+            batch_size=2,
+            shuffle=False,
+            process_index=3,
+        ).__iter__().__next__()
+
+
+def test_encoder_mismatch_error_rewrite(tmp_path):
+    """A STRUCTURAL to_q/to_k tree mismatch gets the encoder-type guidance;
+    a mere shape mismatch on the same leaf keeps its original error."""
+    exp = str(tmp_path)
+    state = {"attn": {"to_q": {"kernel": jnp.ones((4, 4))}, "v": jnp.ones(2)}}
+    save_checkpoint(exp, state, epoch=0)
+    ckpt = os.path.join(exp, "checkpoints")
+    with pytest.raises(ValueError, match="structurally incompatible"):
+        load_checkpoint(ckpt, {"attn": {"v": jnp.ones(2)}})
+    with pytest.raises(ValueError, match="shape"):
+        load_checkpoint(
+            ckpt, {"attn": {"to_q": {"kernel": jnp.ones((4, 8))}, "v": jnp.ones(2)}}
+        )

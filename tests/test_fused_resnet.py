@@ -94,3 +94,24 @@ def test_supports_gating():
     assert not supports(x, 96, 96, 1, 0.0)  # non-128-multiple channels
     big = jnp.zeros((2, 256, 256, 256), jnp.bfloat16)
     assert not supports(big, 256, 256, 1, 0.0)  # sample exceeds VMEM budget
+
+
+def test_kernel_grad_bf16_activations():
+    """bf16 activations (the repo's compute convention) must be trainable:
+    the backward casts the cotangent to the reference block's own output
+    dtype instead of forcing fp32 into the pullback."""
+    cin = cout = 128
+    params = _params(cin, cout, key=6)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    x = jax.random.normal(k1, (2, 8, 8, cin), jnp.bfloat16)
+    temb = jax.random.normal(k2, (2, cout), jnp.bfloat16)
+
+    def loss(p, xi, t):
+        out = resnet_block_pallas(p, xi, t, interpret=True)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2))(params, x, temb)
+    for leaf in jax.tree.leaves(grads):
+        leaf = np.asarray(leaf, np.float32)
+        assert np.isfinite(leaf).all()
+    assert np.abs(np.asarray(grads[1], np.float32)).max() > 0.0

@@ -220,3 +220,21 @@ def test_blur_label_3d_preserves_shape():
 def test_trial_mapping_values():
     assert trial_mapping["placebo"] == 0
     assert trial_mapping["ocrelizumab"] == 2
+
+
+def test_remove_condition_preserves_out_of_subset_entries(fake_index, tmp_path):
+    """With a num_samples-truncated dataset, re-pickling after a blocklist
+    filter must keep unscanned index entries (only BLOCKED keys drop) — the
+    reference filters by inactive position and likewise keeps the rest
+    (`dataset/ipmsa.py:231-232`)."""
+    ds = IPMSADataset(fake_index, num_samples=1)  # working subset = {s0}
+    first_path = ds.resolved_paths(0)[MRIImageKeys.FLAIR][0]
+    parts = first_path.split("/")
+    bl = tmp_path / "blocklist.txt"
+    bl.write_text(f"w/{parts[3]}/{parts[4]}/whatever\n")
+    ds.remove_condition(str(bl), name="subset_filtered")
+    assert len(ds) == 0  # s0 blocked, subset empty
+    with open(fake_index.replace(".pkl", "_subset_filtered.pkl"), "rb") as f:
+        data = pickle.load(f)
+    # s1 was never scanned — it must survive into the persisted index
+    assert list(data["dataset_dict"].keys()) == ["s1"]
