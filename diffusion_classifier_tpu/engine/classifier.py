@@ -23,6 +23,7 @@ from ..parallel.mesh import local_rows, make_mesh, replicated, shard_batch
 from ..parallel.sharding import restore_placement, shard_params
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from ..utils.config import ExperimentConfig
+from ..utils.profiling import enable_compilation_cache
 from ..utils.tracking import make_tracker
 from .state import make_optimizer
 
@@ -44,6 +45,8 @@ class Classifier:
 
     def __init__(self, backbone, config: ExperimentConfig, *, mesh=None):
         self.config = config
+        if config.compilation_cache_dir:
+            enable_compilation_cache(config.compilation_cache_dir)
         self.model = BackboneWithHead(backbone, config.classes)
         self.mesh = mesh if mesh is not None else make_mesh()
         self.variables = None  # {'params': ..., 'batch_stats': ...}

@@ -43,6 +43,7 @@ from ..parallel.mesh import local_rows, make_mesh, replicated, shard_batch
 from ..parallel.sharding import restore_placement, shard_params
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from ..utils.config import ExperimentConfig
+from ..utils.profiling import enable_compilation_cache
 from ..utils.tracking import make_tracker
 from .denoiser import Denoiser, supports_prefix
 from .state import EmaConfig, init_train_state, make_optimizer
@@ -56,6 +57,8 @@ class DiffusionClassifier:
         self.config = config.validate()
         if config.debug_nans:
             jax.config.update("jax_debug_nans", True)
+        if config.compilation_cache_dir:
+            enable_compilation_cache(config.compilation_cache_dir)
         self.compute_dtype = (
             jnp.bfloat16 if config.mixed_precision == "bf16" else jnp.float32
         )

@@ -105,6 +105,11 @@ class ExperimentConfig:
     debug_nans: bool = False
     # checkpoint on SIGTERM/SIGINT for preemption safety (SURVEY §5.3)
     save_on_signal: bool = True
+    # persistent XLA compilation cache directory (None = off). Big-model
+    # compiles through the TPU remote compiler run 1-5 min; with a cache
+    # dir, a restarted process (resume after preemption, inference after
+    # training) reloads compiled executables in milliseconds.
+    compilation_cache_dir: Optional[str] = None
 
     @property
     def experiment_path(self) -> str:
