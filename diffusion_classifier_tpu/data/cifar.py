@@ -36,7 +36,7 @@ def _find_batches_dir(data_path: str) -> str:
     tar = os.path.join(data_path, "cifar-10-python.tar.gz")
     if os.path.isfile(tar):
         with tarfile.open(tar) as tf:
-            tf.extractall(data_path)
+            tf.extractall(data_path, filter="data")
         return os.path.join(data_path, "cifar-10-batches-py")
     raise FileNotFoundError(
         f"CIFAR-10 not found under {data_path!r} (expected cifar-10-batches-py/"
