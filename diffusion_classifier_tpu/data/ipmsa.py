@@ -396,7 +396,18 @@ class LORISTransforms:
             return MRI_image
 
     class Normalize:
-        """4σ clip + FLAIR-referenced min-max to [-1, 1] (`:383-425`)."""
+        """4σ clip + FLAIR-referenced min-max to [-1, 1] (`:383-425`).
+
+        ``ddof`` selects the std estimator for the 4σ clip: the reference's
+        numpy variant uses the population std (ddof=0, `:398`), while its
+        torch ``NormalizeTensor`` — the variant the ipmsa experiments
+        actually run (`experiments/ipmsa/train.py:127`) — uses torch's
+        default UNBIASED std (ddof=1, `:447`). The two differ by a factor
+        √(N/(N−1)) on the clip bounds.
+        """
+
+        def __init__(self, ddof: int = 0):
+            self.ddof = ddof
 
         def __call__(self, MRI_image):
             for k in MRI_image:
@@ -405,7 +416,7 @@ class LORISTransforms:
                 MRI = MRI_image[k]
                 if k == MRIImageKeys.FLAIR:
                     mean = np.mean(MRI, axis=(-2, -1), keepdims=True)
-                    std = np.std(MRI, axis=(-2, -1), keepdims=True)
+                    std = np.std(MRI, axis=(-2, -1), keepdims=True, ddof=self.ddof)
                     MRI = np.clip(MRI, mean - 4 * std, mean + 4 * std)
                     ref = MRI[0]
                     MRI = (MRI - ref.min()) / (ref.max() - ref.min() + 1e-12)
@@ -413,9 +424,11 @@ class LORISTransforms:
                 MRI_image[k] = (MRI - 0.5) / 0.5
             return MRI_image
 
-    # The reference's NormalizeTensor (`:427-461`) duplicates Normalize on
-    # torch tensors; here everything is numpy, so it is the same transform.
-    NormalizeTensor = Normalize
+    class NormalizeTensor(Normalize):
+        """The reference's torch variant (`:427-461`): unbiased std clip."""
+
+        def __init__(self):
+            super().__init__(ddof=1)
 
     class BlurLabel2D:
         """Blur NEWT2/CT2F with a 5×5 binomial × depth-gaussian kernel (`:464-541`).
@@ -597,7 +610,7 @@ def make_default_transform(
         T.Resize(),
         T.ToTensor(),
         T.BlurLabel3D(sigma=1, kernel_size=5),
-        T.Normalize(),
+        T.NormalizeTensor(),  # the experiments' variant: unbiased-std clip
     ]
 
     def transform(item):
