@@ -66,6 +66,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: repeat bench runs skip the remote compiler
+    # (does not affect measurements — the scan-delta excludes compile time)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/dc_tpu_xla_cache")
+
     from __graft_entry__ import _flagship
     from diffusion_classifier_tpu.diffusion.classify import make_classifier
     from diffusion_classifier_tpu.diffusion.process import bcast_right, pred_to_eps
