@@ -34,8 +34,8 @@ sys.path.insert(0, ".")
 BATCH = 32
 CLASSES = 10
 EVALS = 4
-CHAIN = 4  # extra repeats for the delta measurement
-TRIALS = 3
+CHAIN = 8  # extra repeats for the delta measurement
+TRIALS = 5  # best-of; the relay's run-to-run jitter is the noise floor
 TRAIN_BATCH = 64
 SAMPLER_STEPS = 32
 
@@ -66,9 +66,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from diffusion_classifier_tpu.utils.profiling import (
+        enable_compilation_cache,
+    )
+
     # persistent compile cache: repeat bench runs skip the remote compiler
     # (does not affect measurements — the scan-delta excludes compile time)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/dc_tpu_xla_cache")
+    enable_compilation_cache("/tmp/dc_tpu_xla_cache")
 
     from __graft_entry__ import _flagship
     from diffusion_classifier_tpu.diffusion.classify import make_classifier

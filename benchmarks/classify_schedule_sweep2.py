@@ -39,6 +39,11 @@ def main():
     from __graft_entry__ import _flagship
     from diffusion_classifier_tpu.diffusion.classify import make_classifier
     from diffusion_classifier_tpu.diffusion.schedule import make_schedule_fn
+    from diffusion_classifier_tpu.utils.profiling import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache("/tmp/dc_tpu_xla_cache")
 
     denoiser, size = _flagship()
     rng = jax.random.PRNGKey(0)

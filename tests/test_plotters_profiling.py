@@ -78,6 +78,8 @@ def test_enable_compilation_cache(tmp_path):
     )
 
     cache = str(tmp_path / "xla_cache")
+    prior_secs = jax.config.jax_persistent_cache_min_compile_time_secs
+    prior_bytes = jax.config.jax_persistent_cache_min_entry_size_bytes
     try:
         enable_compilation_cache(cache)
         # tiny CPU compiles fall under the default persistence thresholds
@@ -93,28 +95,33 @@ def test_enable_compilation_cache(tmp_path):
         assert os.path.isdir(cache) and os.listdir(cache)
     finally:
         jax.config.update("jax_compilation_cache_dir", None)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update(
-            "jax_persistent_cache_min_entry_size_bytes", 0
+            "jax_persistent_cache_min_compile_time_secs", prior_secs
+        )
+        jax.config.update(
+            "jax_persistent_cache_min_entry_size_bytes", prior_bytes
         )
 
 
 def test_config_compilation_cache_knob(tmp_path):
-    """The engine applies config.compilation_cache_dir at construction."""
+    """Constructing an engine with compilation_cache_dir set applies it."""
     import jax
+    from flax import linen as nn
 
+    from diffusion_classifier_tpu.engine.classifier import Classifier
     from diffusion_classifier_tpu.utils.config import ExperimentConfig
 
-    cfg = ExperimentConfig.from_dict(
-        {"compilation_cache_dir": str(tmp_path / "cc")}
-    )
-    assert cfg.compilation_cache_dir == str(tmp_path / "cc")
-    try:
-        from diffusion_classifier_tpu.utils.profiling import (
-            enable_compilation_cache,
-        )
+    class _Flat(nn.Module):
+        @nn.compact
+        def __call__(self, x, *, train: bool = False):
+            return x.reshape((x.shape[0], -1))
 
-        enable_compilation_cache(cfg.compilation_cache_dir)
-        assert jax.config.jax_compilation_cache_dir == cfg.compilation_cache_dir
+    cache = str(tmp_path / "cc")
+    cfg = ExperimentConfig.from_dict(
+        {"compilation_cache_dir": cache, "classes": 2}
+    )
+    try:
+        Classifier(_Flat(), cfg)  # engine __init__ applies the knob
+        assert jax.config.jax_compilation_cache_dir == cache
     finally:
         jax.config.update("jax_compilation_cache_dir", None)

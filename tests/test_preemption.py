@@ -55,10 +55,12 @@ engine.train_loop(data.get_train_loader(), data.get_val_loader())
 def test_sigterm_saves_checkpoint_and_exits(tmp_path):
     script = tmp_path / "train_forever.py"
     script.write_text(_SCRIPT.format(repo=REPO, root=str(tmp_path)))
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # unbuffered child stdout so epoch lines arrive promptly, and a
+    # select()-based deadline so a wedged child FAILS instead of hanging
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONUNBUFFERED="1")
 
     proc = subprocess.Popen(
-        [sys.executable, str(script)],
+        [sys.executable, "-u", str(script)],
         stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT,
         text=True,
@@ -67,13 +69,19 @@ def test_sigterm_saves_checkpoint_and_exits(tmp_path):
     try:
         # wait until the training loop is live: the engine prints the epoch
         # timing line at the end of every epoch
+        import select
+
         deadline = time.time() + 600
         saw_epoch = False
-        for line in proc.stdout:
+        while time.time() < deadline:
+            ready, _, _ = select.select([proc.stdout], [], [], 5.0)
+            if not ready:
+                continue
+            line = proc.stdout.readline()
+            if not line:
+                break  # child exited
             if "Epoch" in line and ": " in line and " s." in line:
                 saw_epoch = True
-                break
-            if time.time() > deadline:
                 break
         assert saw_epoch, "training loop never reached an epoch boundary"
 
