@@ -190,3 +190,78 @@ def test_engine_wavelet_transform_path(tmp_path):
     # samples come back in wavelet space: [B, 4, 4, 4]
     out = engine.sample(batch["images"], batch["prompt"])
     assert out.shape == (16, 4, 4, 4)
+
+
+def test_engine_dit_backbone_fast_classification(tmp_path):
+    """Engine end-to-end on a tiny DiT backbone with encoder_type='DiT'
+    (labels passed straight to the internal AdaLN class table, reference
+    `:71-74`) and fast_classification=True (oracle-assisted candidate
+    subset, `:671-677`) — neither path is exercised by the UNet tests."""
+    from diffusion_classifier_tpu.models.dit import DiT, DiTConfig
+
+    cfg = ExperimentConfig(
+        pred_param="v",
+        schedule="cosine",
+        noise_d=8,
+        image_size=8,
+        image_channels=1,
+        classes=4,
+        cfg_w=0.0,
+        encoder_type="DiT",
+        ema_beta=0.99,
+        ema_warmup=0,
+        ema_update_freq=1,
+        mixed_precision="no",
+        num_epochs=1,
+        save_image_epochs=1,  # exercise eval (sample + fast classify)
+        evaluation_batches=1,
+        sampling_steps=2,
+        batch_size=16,
+        learning_rate=1e-3,
+        lr_warmup_steps=2,
+        n_stages=1,
+        evaluation_per_stage=(2,),
+        n_keep_per_stage=(1,),
+        fast_classification=True,
+        n_fast_classes=2,
+        project_root=str(tmp_path),
+        experiment_dir="run",
+        use_comet=False,
+    )
+    backbone = DiT(
+        DiTConfig(
+            num_attention_heads=2,
+            attention_head_dim=8,
+            in_channels=1,
+            num_layers=2,
+            sample_size=8,
+            patch_size=2,
+            num_classes=cfg.classes,
+        )
+    )
+    data = SyntheticDataLoader(
+        num_train=32,
+        num_val=32,
+        batch_size=16,
+        image_size=8,
+        channels=1,
+        classes=cfg.classes,
+        seed=0,
+    )
+    engine = DiffusionClassifier(backbone, cfg)
+    engine.train_loop(
+        data.get_train_loader(),
+        data.get_val_loader(),
+        metrics=[Accuracy("classification accuracy")],
+        checkpoint_metric="classification accuracy",
+    )
+    assert engine.state is not None
+    assert int(engine.state.step) == len(data.get_train_loader())
+    # fast-mode predictions come from the candidate subset: engine classify
+    # returns a class id per row
+    batch = next(iter(data.get_val_loader()))
+    preds = np.asarray(
+        engine.classify(batch["images"], labels=batch["prompt"])
+    )
+    assert preds.shape == (16,)
+    assert ((preds >= 0) & (preds < cfg.classes)).all()
