@@ -1,7 +1,12 @@
 """CheXpert DiT test-set inference (reference
 `/root/reference/experiments/chexpert-dit/inference.py` parity; uses the
 TRAINING architecture — see common.py note on the reference's 6/12-head
-mismatch)."""
+mismatch). Writes the `mistakes-ddpm-chexpert.txt`-format artifact (the
+reference tree carries one under this experiment's `inference_images/`)."""
+
+import os
+
+import numpy as np
 
 from common import build_data, build_engine, make_chexpert_plotter
 
@@ -26,8 +31,18 @@ def main():
         checkpoint_folder=config.checkpoint_folder,
     )
     if config.classification:
-        metric_output, _, _ = result
+        metric_output, val_samples, batches = result
         print([{k: round(v, 4) for k, v in d.items()} for d in metric_output])
+        # mistakes artifact (cross-model error analysis, reference mistakes/)
+        if hasattr(data, "test_dataset") and hasattr(
+            data.test_dataset, "mistake_paths"
+        ):
+            preds = np.concatenate([np.asarray(s) for s in val_samples])
+            mistakes = data.test_dataset.mistake_paths(preds)
+            out = os.path.join(config.experiment_path, "mistakes-ddpm-chexpert.txt")
+            with open(out, "w") as f:
+                f.write("\n".join(mistakes) + "\n")
+            print(f"{len(mistakes)} mistakes written to {out}")
 
 
 if __name__ == "__main__":
