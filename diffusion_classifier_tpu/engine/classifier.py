@@ -25,6 +25,7 @@ from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from ..utils.config import ExperimentConfig
 from ..utils.profiling import enable_compilation_cache
 from ..utils.tracking import make_tracker
+from .diffusion_classifier import _first_batch
 from .state import make_optimizer
 
 
@@ -187,7 +188,7 @@ class Classifier:
     ):
         cfg = self.config
         total_steps = len(train_dataloader) * cfg.num_epochs
-        self.init_params(next(iter(train_dataloader)))
+        self.init_params(_first_batch(train_dataloader, "train"))
         self._build_train_step(total_steps)
 
         start_epoch, experiment_key = 0, None
@@ -248,7 +249,7 @@ class Classifier:
 
     def inference(self, val_dataloader, metrics=None):
         cfg = self.config
-        self.init_params(next(iter(val_dataloader)))
+        self.init_params(_first_batch(val_dataloader, "val"))
         self._build_train_step(total_steps=max(1, len(val_dataloader)))
         self.load_checkpoint(
             os.path.join(cfg.experiment_path, cfg.checkpoint_folder)

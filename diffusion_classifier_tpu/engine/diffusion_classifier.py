@@ -50,6 +50,23 @@ from .state import EmaConfig, init_train_state, make_optimizer
 from .steps import make_loss_fn, make_train_step
 
 
+def _first_batch(dataloader, name: str):
+    """First batch of a loader, with a clear error when it yields nothing.
+
+    drop_last batching (shape stability) silently produces ZERO batches when
+    the dataset is smaller than the batch size — a bare StopIteration here
+    is indecipherable; say what actually went wrong.
+    """
+    try:
+        return next(iter(dataloader))
+    except StopIteration:
+        raise ValueError(
+            f"The {name} dataloader yielded no batches. With drop_last "
+            f"batching this happens when the dataset has fewer rows than "
+            f"batch_size — reduce batch_size or provide more data."
+        ) from None
+
+
 class DiffusionClassifier:
     """Continuous-time DDPM trainer + per-class-ELBO classifier (TPU-native)."""
 
@@ -305,7 +322,7 @@ class DiffusionClassifier:
         steps_per_epoch = len(train_dataloader)
         total_steps = steps_per_epoch * cfg.num_epochs
 
-        first_batch = next(iter(train_dataloader))
+        first_batch = _first_batch(train_dataloader, "train")
         self.init_params(first_batch)
         self._build_train_state(total_steps)
 
@@ -462,7 +479,7 @@ class DiffusionClassifier:
     ):
         """Load a checkpoint and evaluate — reference `inference` (`:580-655`)."""
         cfg = self.config
-        first_batch = next(iter(val_dataloader))
+        first_batch = _first_batch(val_dataloader, "val")
         self.init_params(first_batch)
         if self.state is None or self._tx is None:
             self._build_train_state(total_steps=max(1, len(val_dataloader)))
