@@ -265,3 +265,12 @@ def test_engine_dit_backbone_fast_classification(tmp_path):
     )
     assert preds.shape == (16,)
     assert ((preds >= 0) & (preds < cfg.classes)).all()
+
+
+def test_empty_dataloader_clear_error(tmp_path):
+    """A dataset smaller than batch_size yields zero batches under drop_last
+    — the engine must say so instead of raising a bare StopIteration."""
+    cfg, backbone, _ = tiny_setup(tmp_path)
+    engine = DiffusionClassifier(backbone, cfg)
+    with pytest.raises(ValueError, match="yielded no batches"):
+        engine.train_loop([], [])
