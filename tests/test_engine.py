@@ -274,3 +274,32 @@ def test_empty_dataloader_clear_error(tmp_path):
     engine = DiffusionClassifier(backbone, cfg)
     with pytest.raises(ValueError, match="yielded no batches"):
         engine.train_loop([], [])
+
+
+def test_inference_counterfactual_from_t(tmp_path):
+    """Engine-level explain flow (`experiments/ipmsa/explain.py` semantics):
+    train, then inference with classification=False and from_t=0.5 — real
+    images re-noised halfway and sampled back under the (here: dataset)
+    condition, with plots written to inference_images/."""
+    from diffusion_classifier_tpu.utils.plotters import cifar_plotter
+
+    cfg, backbone, data = tiny_setup(tmp_path, num_epochs=1)
+    engine = DiffusionClassifier(backbone, cfg)
+    engine.train_loop(data.get_train_loader(), data.get_val_loader())
+
+    cfg2, backbone2, _ = tiny_setup(tmp_path, num_epochs=1)
+    engine2 = DiffusionClassifier(backbone2, cfg2)
+    val_samples, batches = engine2.inference(
+        data.get_val_loader(),
+        metrics=None,
+        plot_function=cifar_plotter,
+        classification=False,
+        from_t=0.5,
+    )
+    # one stop_idx'd batch of generated images in [-1, 1]
+    assert len(val_samples) == len(batches) >= 1
+    s = np.asarray(val_samples[0])
+    assert s.shape == batches[0]["images"].shape
+    assert np.abs(s).max() <= 1.0 + 1e-6
+    out_dir = os.path.join(cfg2.experiment_path, "inference_images")
+    assert os.path.isdir(out_dir) and len(os.listdir(out_dir)) > 0
