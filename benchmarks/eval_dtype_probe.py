@@ -45,7 +45,6 @@ def _timed_delta(fn1, fnR, repeats):
 
 
 def main():
-    import dataclasses
 
     import jax
     import jax.numpy as jnp
@@ -56,12 +55,7 @@ def main():
     from diffusion_classifier_tpu.diffusion.schedule import make_schedule_fn
 
     denoiser, size = _flagship()
-    backbone = denoiser.backbone
-    prod_cfg = dataclasses.replace(backbone.config, resnet_backend="xla")
-    prod = type(denoiser)(
-        backbone=type(backbone)(prod_cfg, dtype=backbone.dtype),
-        encoder=denoiser.encoder,
-    )
+    prod = denoiser
 
     rng = jax.random.PRNGKey(0)
     x = jax.random.uniform(rng, (BATCH, size, size, 3), minval=-1, maxval=1)

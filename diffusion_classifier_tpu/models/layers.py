@@ -19,7 +19,7 @@ the UNet config.
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -28,6 +28,21 @@ from flax import linen as nn
 from ..ops.attention import attention
 
 Dtype = jnp.dtype
+
+
+class ResnetParams(NamedTuple):
+    """Flat parameter bundle for one resnet block (all fp32, flax shapes)."""
+
+    scale1: jax.Array  # [Cin]
+    bias1: jax.Array  # [Cin]
+    w1: jax.Array  # [3, 3, Cin, Cout]
+    b1: jax.Array  # [Cout]
+    scale2: jax.Array  # [Cout]
+    bias2: jax.Array  # [Cout]
+    w2: jax.Array  # [3, 3, Cout, Cout]
+    b2: jax.Array  # [Cout]
+    ws: Optional[jax.Array] = None  # [Cin, Cout] 1x1 shortcut (None: identity)
+    bs: Optional[jax.Array] = None  # [Cout]
 
 
 def sinusoidal_embedding(
@@ -155,15 +170,12 @@ class ResnetBlock2D(nn.Module):
     Structure-parity with diffusers ``ResnetBlock2D`` (default
     ``resnet_time_scale_shift='default'``, ``output_scale_factor=1``).
 
-    Parameters are declared explicitly (not via child nn.Conv modules) so the
-    same tree drives both execution backends:
-
-    - ``backend='xla'`` — the unfused chain (XLA convs + MXU group-norm);
-    - ``backend='pallas'`` — the whole block as ONE fused TPU kernel
-      (`ops/fused_resnet.py`): activations stay VMEM-resident across both
-      convs, saving the chain's HBM round trips. Falls back to xla for
-      shapes the kernel does not support (stride, dropout, channel tiling,
-      VMEM budget) and under dropout training.
+    Executes as XLA convs + the MXU group-norm. A fully fused Pallas block
+    kernel was built and measured in rounds 1-2 and lost to XLA's conv
+    emitters at every production shape (the chains are compute-bound —
+    BASELINE.md "fused-block Pallas kernel" table), so it was removed in
+    round 3; parameters stay declared flat (`ResnetParams`) so any future
+    kernel can drive the same tree.
     """
 
     out_channels: int
@@ -171,7 +183,6 @@ class ResnetBlock2D(nn.Module):
     groups: int = 32
     eps: float = 1e-5
     dtype: Dtype = jnp.float32
-    backend: str = "xla"
 
     @nn.compact
     def __call__(
@@ -189,8 +200,6 @@ class ResnetBlock2D(nn.Module):
         multiple of the group width. Measured 1.46x faster than the concat
         formulation at the flagship up-block shape (320×32²×(128+128)→128,
         TPU v5e — BASELINE.md). Parameters are identical either way."""
-        from ..ops import fused_resnet
-
         split_halves = None
         if skip is not None:
             total = x.shape[-1] + skip.shape[-1]
@@ -208,7 +217,7 @@ class ResnetBlock2D(nn.Module):
         ones, zeros = nn.initializers.ones, nn.initializers.zeros
         channel_change = in_ch != out_ch
 
-        p = fused_resnet.ResnetParams(
+        p = ResnetParams(
             scale1=self.param("norm1_scale", ones, (in_ch,), jnp.float32),
             bias1=self.param("norm1_bias", zeros, (in_ch,), jnp.float32),
             w1=self.param("conv1_kernel", lecun, (3, 3, in_ch, out_ch), jnp.float32),
@@ -231,23 +240,6 @@ class ResnetBlock2D(nn.Module):
         t = nn.silu(temb).astype(self.dtype) @ wt.astype(self.dtype) + bt.astype(
             self.dtype
         )
-
-        dropout_active = self.dropout > 0.0 and not deterministic
-        if (
-            self.backend == "pallas"
-            and split_halves is None
-            and not dropout_active
-            and not self.is_initializing()
-            and fused_resnet.supports(x, in_ch, out_ch, 1, 0.0)
-        ):
-            return fused_resnet.resnet_block_pallas(
-                p,
-                x,
-                t.astype(jnp.float32),
-                groups=self.groups,
-                eps=self.eps,
-                interpret=jax.default_backend() != "tpu",
-            ).astype(x.dtype)
 
         def conv(h, w, b):
             out = jax.lax.conv_general_dilated(

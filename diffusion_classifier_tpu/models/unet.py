@@ -82,7 +82,6 @@ class UNetConfig:
     flip_sin_to_cos: bool = True
     freq_shift: float = 0.0
     attn_backend: str = "auto"
-    resnet_backend: str = "xla"  # 'xla' | 'pallas' (fused block kernel)
 
     def __post_init__(self):
         n = len(self.block_out_channels)
@@ -167,7 +166,6 @@ class UNetCondition2D(nn.Module):
                 groups=cfg.norm_num_groups,
                 eps=cfg.norm_eps,
                 dtype=self.dtype,
-                backend=cfg.resnet_backend,
                 name=name,
             )
 

@@ -186,24 +186,6 @@ def test_attention_head_dim_conventions():
     assert uncond.config.heads_for(1) == 56  # 448 / 8
 
 
-def test_resnet_backend_pallas_matches_xla():
-    """ResnetBlock2D backend='pallas' (fused kernel, interpret on CPU) must
-    match the xla path on the same param tree."""
-    from diffusion_classifier_tpu.models.layers import ResnetBlock2D
-
-    for cin, cout in ((128, 128), (256, 128)):
-        xla_block = ResnetBlock2D(cout, groups=32, dtype=jnp.bfloat16)
-        pl_block = ResnetBlock2D(cout, groups=32, dtype=jnp.bfloat16,
-                                 backend="pallas")
-        rng = jax.random.PRNGKey(0)
-        x = jax.random.normal(rng, (2, 8, 8, cin), jnp.bfloat16)
-        temb = jax.random.normal(jax.random.fold_in(rng, 1), (2, 64))
-        params = xla_block.init(rng, x, temb)
-        want = np.asarray(xla_block.apply(params, x, temb), np.float32)
-        got = np.asarray(pl_block.apply(params, x, temb), np.float32)
-        assert np.abs(got - want).max() < 0.05 * np.abs(want).max(), (cin, cout)
-
-
 def test_resnet_block_split_skip_matches_concat():
     """skip= split-operand path must equal the explicit concat formulation."""
     from diffusion_classifier_tpu.models.layers import ResnetBlock2D
