@@ -29,53 +29,72 @@ _SIDECAR = "experiment_state.json"
 _STATE = "state"
 
 
+def _rm(path: str) -> None:
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    elif os.path.exists(path):
+        os.remove(path)
+
+
 def _atomic_save(checkpointer: ocp.StandardCheckpointer, directory: str, state):
     """Crash-safe save of ``<directory>/state``.
 
     POSIX cannot rename over a non-empty directory, so a directory swap is
     necessarily two renames with a window where ``state`` is absent. Safety
-    comes from (a) FINISHING an interrupted swap first (a ``.new`` with no
-    ``state`` is the newest complete checkpoint — renaming it into place
-    keeps it loadable even if the upcoming save is itself interrupted),
-    (b) cleaning the remaining stale leftovers *before* writing (a leftover
-    ``.old`` would make the swap's rename raise), and (c)
-    :func:`_resolve_state_dir` falling back to a fully written ``.new``
-    (newer) or ``.old`` (previous) directory on restore — so every crash
-    point leaves a loadable checkpoint.
+    comes from (a) FINISHING an interrupted swap first — but only when the
+    ``.new.complete`` sentinel (written strictly after
+    ``wait_until_finished``) proves the ``.new`` write finished; a torn
+    ``.new`` from a crash mid-first-save is deleted instead of being
+    promoted to a checkpoint that merely looks normal — (b) cleaning the
+    remaining stale leftovers *before* writing (a leftover ``.old`` would
+    make the swap's rename raise), and (c) :func:`_resolve_state_dir`
+    falling back to a fully written ``.new`` (newer) or ``.old`` (previous)
+    directory on restore — so every crash point leaves the newest complete
+    checkpoint loadable.
     """
     final = os.path.join(directory, _STATE)
     tmp, old = final + ".new", final + ".old"
+    ok = tmp + ".complete"
     if not os.path.exists(final) and os.path.exists(tmp):
-        # Interrupted swap: this .new is the directory's newest complete
-        # checkpoint — FINISH the swap rather than deleting it, so a second
-        # crash during the upcoming save still leaves it loadable.
-        os.rename(tmp, final)
-    for stale in (tmp, old):
-        if os.path.exists(stale) and os.path.exists(final):
-            shutil.rmtree(stale)
+        if os.path.exists(ok):
+            # Interrupted swap: this .new is the directory's newest complete
+            # checkpoint — FINISH the swap rather than deleting it, so a
+            # second crash during the upcoming save still leaves it loadable.
+            os.rename(tmp, final)
+        else:
+            # Torn write (crash during the very first save): nothing
+            # loadable inside — do not let it masquerade as a checkpoint.
+            _rm(tmp)
+    if os.path.exists(final):
+        for stale in (tmp, old, ok):
+            _rm(stale)
     checkpointer.save(tmp, state)
     checkpointer.wait_until_finished()  # tmp is complete before any rename
+    with open(ok, "w") as f:
+        f.write("complete")
     if os.path.exists(final):
         os.rename(final, old)
     os.rename(tmp, final)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    _rm(ok)
+    _rm(old)
 
 
 def _resolve_state_dir(checkpoint_path: str) -> str:
     """Pick the state directory, recovering from an interrupted swap.
 
     Preference: ``state`` (normal) → ``state.new`` (crash between the two
-    swap renames; the new write was complete) → ``state.old`` (previous
-    checkpoint).
+    swap renames, PROVEN complete by its ``.complete`` sentinel) →
+    ``state.old`` (previous checkpoint).
     """
     final = os.path.join(checkpoint_path, _STATE)
     if os.path.exists(final):
         return final
-    for suffix in (".new", ".old"):
-        candidate = final + suffix
-        if os.path.exists(candidate):
-            return candidate
+    tmp = final + ".new"
+    if os.path.exists(tmp) and os.path.exists(tmp + ".complete"):
+        return tmp
+    old = final + ".old"
+    if os.path.exists(old):
+        return old
     return final  # let Orbax raise its not-found error
 
 

@@ -32,9 +32,19 @@ def main():
     if config.classification:
         metric_output, val_samples, batches = result
         print([{k: round(v, 4) for k, v in d.items()} for d in metric_output])
-        # mistakes artifact (cross-model error analysis, reference mistakes/)
-        if hasattr(data, "test_dataset") and hasattr(
-            data.test_dataset, "mistake_paths"
+        # mistakes artifact (cross-model error analysis, reference mistakes/).
+        # Single-process only: val_samples are HOST-LOCAL prediction rows
+        # (`parallel/mesh.py::local_rows`) — under multi-process inference
+        # they cover only this host's slice of the dataset order, so the
+        # artifact would silently misalign with mistake_paths' full-dataset
+        # indexing. drop_last batching also truncates the dataset tail, so
+        # the artifact covers only the first len(preds) samples.
+        import jax
+
+        if (
+            jax.process_count() == 1
+            and hasattr(data, "test_dataset")
+            and hasattr(data.test_dataset, "mistake_paths")
         ):
             preds = np.concatenate([np.asarray(s) for s in val_samples])
             mistakes = data.test_dataset.mistake_paths(preds)

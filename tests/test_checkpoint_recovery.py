@@ -36,6 +36,13 @@ def _assert_loads(path, expected_value, expected_epoch):
     assert epoch == expected_epoch
 
 
+def _mark_complete(tmp_dir):
+    """Write the sentinel `_atomic_save` leaves after wait_until_finished —
+    the crash layouts below happen AFTER the write completed."""
+    with open(tmp_dir + ".complete", "w") as f:
+        f.write("complete")
+
+
 def test_save_load_roundtrip(tmp_path):
     exp = str(tmp_path)
     save_checkpoint(exp, _state(1.0), epoch=3, best_metric=0.5, best=True)
@@ -55,6 +62,7 @@ def test_recovers_from_crash_between_renames(tmp_path):
     save_checkpoint(exp, _state(2.0), epoch=2)
     final = os.path.join(ckpt, "state")
     os.rename(final, final + ".new")
+    _mark_complete(final + ".new")
     save_dir_v1 = os.path.join(str(tmp_path), "v1")
     save_checkpoint(save_dir_v1, _state(1.0), epoch=1)
     shutil.copytree(os.path.join(save_dir_v1, "checkpoints", "state"), final + ".old")
@@ -140,12 +148,32 @@ def test_interrupted_swap_survives_failed_next_save(tmp_path):
     ckpt = os.path.join(exp, "checkpoints")
     final = os.path.join(ckpt, "state")
     os.rename(final, final + ".new")  # crash-between-renames layout
+    _mark_complete(final + ".new")
 
     with pytest.raises(RuntimeError, match="preempted"):
         save_checkpoint(
             exp, _state(9.0), epoch=9, checkpointer=_FailingCheckpointer()
         )
     _assert_loads(ckpt, 2.0, 3)
+
+
+def test_torn_first_save_not_promoted(tmp_path):
+    """A `.new` with NO completeness sentinel (crash during the very first
+    save's write) must not be promoted to the canonical `state` dir — it is
+    a torn write masquerading as a checkpoint (round-2 advisor finding)."""
+    exp = str(tmp_path)
+    ckpt = os.path.join(exp, "checkpoints")
+    torn = os.path.join(ckpt, "state.new")
+    os.makedirs(torn)  # torn partial write, no sentinel
+    with open(os.path.join(torn, "garbage"), "w") as f:
+        f.write("partial")
+    # restore: must NOT see the torn dir as a checkpoint
+    with pytest.raises(Exception):
+        load_checkpoint(ckpt, _abstract())
+    # next save: must discard it and produce a clean checkpoint
+    save_checkpoint(exp, _state(4.0), epoch=4)
+    _assert_loads(ckpt, 4.0, 5)
+    assert not os.path.exists(torn + ".complete")
 
 
 def test_process_slice_requires_both_or_neither():
