@@ -339,6 +339,9 @@ class DiffusionClassifier:
             is_main_process=self.is_main_process,
             resume_key=experiment_key,
             name=cfg.comet_experiment_name,
+            comet_api_key=cfg.comet_api_key,
+            comet_project_name=cfg.comet_project_name,
+            comet_workspace=cfg.comet_workspace,
         )
         if tracker is not None and not cfg.resume:
             tracker.log_other("Device", str(jax.devices()[0].device_kind))

@@ -9,8 +9,12 @@ is an interface with two built-in backends:
 - :class:`StdoutTracker` — prints scalars; always safe.
 - :class:`JsonlTracker` — appends events to ``<experiment_path>/track.jsonl``
   with a persistent run key, giving resumable offline tracking without any
-  network dependency (this environment has zero egress; a Comet backend can
-  be dropped in behind the same interface).
+  network dependency (the zero-egress default).
+- :class:`CometTracker` — the real network backend, import-guarded on
+  ``comet_ml`` and selected only when an API key is configured: fresh runs
+  open a ``comet_ml.Experiment`` with the reference's project/workspace
+  fields, resumed runs re-attach via ``ExistingExperiment`` with the stored
+  experiment key (reference `:395-416`).
 """
 
 from __future__ import annotations
@@ -21,7 +25,13 @@ import time
 import uuid
 from typing import Any, Mapping, Optional
 
-__all__ = ["Tracker", "StdoutTracker", "JsonlTracker", "make_tracker"]
+__all__ = [
+    "Tracker",
+    "StdoutTracker",
+    "JsonlTracker",
+    "CometTracker",
+    "make_tracker",
+]
 
 
 class Tracker:
@@ -96,6 +106,61 @@ class JsonlTracker(Tracker):
         self._emit({"event": "other", "key": key, "value": str(value)})
 
 
+class CometTracker(Tracker):
+    """Comet ML network backend (reference `:395-416` parity).
+
+    ``comet_module`` is injectable so the backend is testable without the
+    (absent, zero-egress) real ``comet_ml`` package.
+    """
+
+    def __init__(
+        self,
+        *,
+        api_key: str,
+        project_name: Optional[str] = None,
+        workspace: Optional[str] = None,
+        resume_key: Optional[str] = None,
+        comet_module=None,
+    ):
+        if comet_module is None:  # pragma: no cover - needs comet_ml + egress
+            import comet_ml as comet_module
+        if resume_key:
+            # re-attach to the stored run, the reference's resume path
+            self._exp = comet_module.ExistingExperiment(
+                previous_experiment=resume_key, api_key=api_key
+            )
+        else:
+            self._exp = comet_module.Experiment(
+                api_key=api_key,
+                project_name=project_name,
+                workspace=workspace,
+            )
+
+    def set_name(self, name: str) -> None:
+        self._exp.set_name(name)
+
+    def get_key(self) -> Optional[str]:
+        return self._exp.get_key()
+
+    def log_metric(self, name, value, *, step=None, epoch=None) -> None:
+        self._exp.log_metric(name, value, step=step, epoch=epoch)
+
+    def log_metrics(self, metrics, *, step=None) -> None:
+        self._exp.log_metrics(dict(metrics), step=step)
+
+    def log_image(self, name, image_data) -> None:
+        self._exp.log_image(image_data, name=name)
+
+    def log_asset(self, path, name) -> None:
+        self._exp.log_asset(path, name)
+
+    def log_other(self, key, value) -> None:
+        self._exp.log_other(key, value)
+
+    def end(self) -> None:
+        self._exp.end()
+
+
 def make_tracker(
     use_tracking: bool,
     experiment_path: str,
@@ -103,10 +168,34 @@ def make_tracker(
     is_main_process: bool = True,
     resume_key: Optional[str] = None,
     name: Optional[str] = None,
+    comet_api_key: Optional[str] = None,
+    comet_project_name: Optional[str] = None,
+    comet_workspace: Optional[str] = None,
+    comet_module=None,
 ) -> Optional[Tracker]:
-    """Mirror of the reference's tracker setup gating (`:400-416`)."""
+    """Mirror of the reference's tracker setup gating (`:400-416`).
+
+    A configured API key selects the Comet network backend when ``comet_ml``
+    is importable; otherwise (and by default in this zero-egress
+    environment) events go to the resumable JSONL backend.
+    """
     if not use_tracking or not is_main_process:
         return None
+    if comet_api_key:
+        try:
+            tracker = CometTracker(
+                api_key=comet_api_key,
+                project_name=comet_project_name,
+                workspace=comet_workspace,
+                resume_key=resume_key,
+                comet_module=comet_module,
+            )
+        except ImportError:
+            tracker = None
+        if tracker is not None:
+            if name and not resume_key:
+                tracker.set_name(name)
+            return tracker
     tracker = JsonlTracker(experiment_path, key=resume_key)
     if name:
         tracker.set_name(name)

@@ -15,7 +15,11 @@ from diffusion_classifier_tpu.parallel.mesh import (
 )
 from diffusion_classifier_tpu.utils.config import ExperimentConfig
 from diffusion_classifier_tpu.utils.metrics import F1, Accuracy, Precision, Recall
-from diffusion_classifier_tpu.utils.tracking import JsonlTracker
+from diffusion_classifier_tpu.utils.tracking import (
+    CometTracker,
+    JsonlTracker,
+    make_tracker,
+)
 
 
 def test_config_rejects_unknown_keys():
@@ -117,6 +121,94 @@ def test_jsonl_tracker_roundtrip(tmp_path):
     events = [json.loads(l) for l in open(os.path.join(tmp_path, "track.jsonl"))]
     assert events[0]["event"] == "start" and events[0]["key"] == key
     assert any(e.get("name") == "loss" and e["value"] == 0.5 for e in events)
+
+
+class _FakeExperiment:
+    """Records the comet_ml.Experiment call surface the reference uses
+    (`diffusion/diffusion_classifier.py:406-416`)."""
+
+    def __init__(self, **kw):
+        self.kw = kw
+        self.calls = []
+
+    def __getattr__(self, name):
+        def record(*a, **k):
+            self.calls.append((name, a, k))
+            return "KEY" if name == "get_key" else None
+
+        return record
+
+
+class _FakeComet:
+    def __init__(self):
+        self.experiments = []
+
+    def Experiment(self, **kw):
+        exp = _FakeExperiment(kind="fresh", **kw)
+        self.experiments.append(exp)
+        return exp
+
+    def ExistingExperiment(self, **kw):
+        exp = _FakeExperiment(kind="resume", **kw)
+        self.experiments.append(exp)
+        return exp
+
+
+def test_comet_tracker_fresh_and_resume(tmp_path):
+    fake = _FakeComet()
+    tr = make_tracker(
+        True,
+        str(tmp_path),
+        comet_api_key="k",
+        comet_project_name="proj",
+        comet_workspace="ws",
+        name="run-1",
+        comet_module=fake,
+    )
+    assert isinstance(tr, CometTracker)
+    (exp,) = fake.experiments
+    assert exp.kw == {
+        "kind": "fresh", "api_key": "k", "project_name": "proj",
+        "workspace": "ws",
+    }
+    tr.log_metric("loss", 0.25, step=3)
+    tr.log_image("samples", "/tmp/img.png")
+    tr.log_asset("/tmp/train.py", "train.py")
+    tr.log_other("Device", "tpu")
+    assert tr.get_key() == "KEY"
+    names = [c[0] for c in exp.calls]
+    assert names[:1] == ["set_name"]  # fresh runs get the configured name
+    assert {"log_metric", "log_image", "log_asset", "log_other"} <= set(names)
+
+    # resume: re-attach via ExistingExperiment with the stored key, no rename
+    fake2 = _FakeComet()
+    tr2 = make_tracker(
+        True,
+        str(tmp_path),
+        comet_api_key="k",
+        resume_key="prev-key",
+        name="run-1",
+        comet_module=fake2,
+    )
+    (exp2,) = fake2.experiments
+    assert exp2.kw["kind"] == "resume"
+    assert exp2.kw["previous_experiment"] == "prev-key"
+    assert "set_name" not in [c[0] for c in exp2.calls]
+    assert isinstance(tr2, CometTracker)
+
+
+def test_make_tracker_defaults_to_jsonl_without_api_key(tmp_path):
+    tr = make_tracker(True, str(tmp_path))
+    assert isinstance(tr, JsonlTracker)
+    assert make_tracker(False, str(tmp_path)) is None
+    assert make_tracker(True, str(tmp_path), is_main_process=False) is None
+
+
+def test_make_tracker_falls_back_when_comet_unimportable(tmp_path):
+    # api key configured but comet_ml not installed (this environment):
+    # the zero-egress JSONL backend must be the silent fallback
+    tr = make_tracker(True, str(tmp_path), comet_api_key="k")
+    assert isinstance(tr, JsonlTracker)
 
 
 def test_mesh_and_batch_sharding():
