@@ -60,23 +60,27 @@ def param_spec(path: str, value) -> P:
 
 
 def fsdp_spec(spec: P, value, axis_size: int, min_size: int = None) -> P:
-    """Add 'data' sharding to ``spec`` on the largest free divisible dim.
+    """Add 'data' sharding to ``spec`` on the LAST free divisible dim.
 
     ``spec`` is the parameter's TP placement (``P()`` when TP is off); the
-    'data' axis goes on the largest dimension that is not already sharded
-    and divides evenly. Small params stay as-is (see ``FSDP_MIN_PARAM``).
+    'data' axis goes on the last dimension that is not already sharded and
+    divides evenly. The byte savings are the same for any dim, but the last
+    dim (out-features of matmuls, O of HWIO conv kernels) is the one no
+    model code ever slices — the split-skip resnet formulation statically
+    slices conv kernels along I and the shortcut matmul along its input dim
+    (`models/layers.py::ResnetBlock2D`), and sharding a sliced dim forces
+    SPMD into involuntary full rematerialization of the kernel every step
+    (VERDICT r2 "what's weak" §2). Small params stay as-is (see
+    ``FSDP_MIN_PARAM``).
     """
     if value.size < (FSDP_MIN_PARAM if min_size is None else min_size):
         return spec
     entries = list(spec) + [None] * (value.ndim - len(spec))
-    best_dim, best_extent = None, 0
-    for d, (extent, taken) in enumerate(zip(value.shape, entries)):
-        if taken is None and extent % axis_size == 0 and extent > best_extent:
-            best_dim, best_extent = d, extent
-    if best_dim is None:
-        return spec
-    entries[best_dim] = "data"
-    return P(*entries)
+    for d in reversed(range(value.ndim)):
+        if entries[d] is None and value.shape[d] % axis_size == 0:
+            entries[d] = "data"
+            return P(*entries)
+    return spec
 
 
 def shard_params(

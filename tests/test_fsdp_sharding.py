@@ -37,7 +37,8 @@ def _tiny_denoiser():
 
 
 def test_fsdp_spec_rules():
-    # large 2D weight: largest divisible dim gets 'data'
+    # large 2D weight: LAST free divisible dim gets 'data' (out-features;
+    # never sliced by model code — see fsdp_spec docstring)
     w = jnp.zeros((256, 1024))
     assert fsdp_spec(P(), w, axis_size=8, min_size=1) == P(None, "data")
     # TP already on dim 1 -> 'data' goes to dim 0
