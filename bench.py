@@ -11,11 +11,25 @@ network, as the reference's torch calls do — an optimization_barrier stops
 XLA from granting the baseline our prefix sharing); the stricter round-1
 variant where XLA LICM hoists the prefix for the baseline too is reported
 alongside as ``vs_licm_hoisted_baseline``. Neither baseline pays the
-reference's real per-call Python/host-dispatch latency.
+reference's real per-call Python/host-dispatch latency. Both ratios carry a
+``*_band`` [min, max] over interleaved paired trials so the verdict is
+statistically resolved, not a single draw (VERDICT r2 "what's weak" §1).
 
-Secondary metrics (earlier JSON lines): training-step images/sec, sampler
-steps/sec, and B=1 classification latency, so regressions in the other hot
-loops are visible to the driver.
+Secondary metrics (earlier JSON lines), covering BASELINE.json's other
+named configs (VERDICT r2 next-round §1):
+
+- training-step images/sec, sampler steps/sec, B=1 latency (CIFAR UNet);
+- staged-tournament classify img/s (the framework's real best operating
+  point at CIFAR: 2 evals × 10 classes → 4 evals × top-3);
+- CheXpert-256 DWT-UNet classify img/s + B=1 latency (arch
+  `/root/reference/experiments/chexpert-unet/train.py:118-138`, binary
+  classes, in-graph Haar DWT 256px→128px/12ch);
+- CheXpert-256 DiT-b4 classify img/s (arch
+  `/root/reference/experiments/chexpert-dit/train.py:116-134`, 1024 tokens
+  — the config where `attn_backend='auto'` routes to the Pallas flash
+  attention kernel);
+- an MFU/roofline line for the headline classify program (XLA cost
+  analysis ÷ measured time, VERDICT r2 next-round §7).
 
 Timing methodology (this TPU is reached through a relay with ~30 ms
 round-trip latency and duplicate-execution caching): each measured quantity
@@ -24,7 +38,6 @@ is computed from the DELTA between a 1-repeat and an R-repeat on-device
 relay latency and dispatch cost cancel out.
 """
 
-import dataclasses
 import json
 import sys
 import time
@@ -35,31 +48,46 @@ BATCH = 32
 CLASSES = 10
 EVALS = 4
 CHAIN = 8  # extra repeats for the delta measurement
-TRIALS = 5  # best-of; the relay's run-to-run jitter is the noise floor
+TRIALS = 5  # best-of for secondary lines; the relay jitter is the noise floor
+HEADLINE_TRIALS = 10  # paired fused/baseline trials for the ratio band
 TRAIN_BATCH = 64
 SAMPLER_STEPS = 32
 
+# CheXpert-256 lines (binary healthy-vs-sick, DWT path): heavier model, fewer
+# trials / shorter chains keep the bench's wall time bounded
+CX_BATCH = 16
+CX_TRIALS = 3
+CX_CHAIN = 4
+
 # production classify knobs at this operating point (measured sweeps in
 # BASELINE.md: a scan of per-class chunks with the prefix explicitly hoisted
-# beats one giant megabatch; the fused-block pallas kernel measured slower
-# than XLA's conv emitters at these shapes, so the xla backend is default)
+# beats one giant megabatch)
 CLASS_CHUNK = 1
-RESNET_BACKEND = "xla"
+
+# TPU v5e single-chip peaks for the roofline line (public spec: 197 TFLOP/s
+# bf16, 819 GB/s HBM)
+PEAK_FLOPS = 197e12
+PEAK_HBM = 819e9
 
 
-def _timed_delta(fn1, fnR, repeats):
-    """Best-of-TRIALS per-repeat seconds from (T_R − T_1)/(R−1)."""
-    fn1(0), fnR(0)  # compile both
-    best = float("inf")
-    for i in range(TRIALS):
+def _deltas(fn1, fnR, repeats, trials):
+    """Per-repeat seconds from (T_R − T_1)/(R−1), one value per trial."""
+    out = []
+    for i in range(trials):
         t0 = time.perf_counter()
         fn1(i + 1)
         t1 = time.perf_counter() - t0
         t0 = time.perf_counter()
         fnR(i + 1)
         tr = time.perf_counter() - t0
-        best = min(best, (tr - t1) / (repeats - 1))
-    return best
+        out.append((tr - t1) / (repeats - 1))
+    return out
+
+
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
 
 
 def main():
@@ -90,15 +118,7 @@ def main():
     from diffusion_classifier_tpu.engine.steps import make_loss_fn, make_train_step
 
     denoiser, size = _flagship()
-    # production serving backbone: same param tree, configured backend
-    backbone = denoiser.backbone
-    prod_cfg = dataclasses.replace(
-        backbone.config, resnet_backend=RESNET_BACKEND
-    )
-    prod = type(denoiser)(
-        backbone=type(backbone)(prod_cfg, dtype=backbone.dtype),
-        encoder=denoiser.encoder,
-    )
+    prod = denoiser
 
     rng = jax.random.PRNGKey(0)
     x = jax.random.uniform(rng, (BATCH, size, size, 3), minval=-1, maxval=1)
@@ -112,14 +132,14 @@ def main():
         p, None, None, lab, mode="tail", prefix_state=s
     )
 
-    def chained(fn, repeats, xx, ll):
+    def chained(fn, repeats, pp, xx, ll):
         # params/x/labels must be ARGUMENTS of the jitted chain — closing over
-        # them would inline 96M weights as HLO constants and blow the remote
+        # them would inline the weights as HLO constants and blow the remote
         # compiler's request size limit.
         @jax.jit
-        def run(params, xx, ll, seed):
+        def run(pp, xx, ll, seed):
             def body(carry, key):
-                return carry + fn(params, xx, ll, key).astype(jnp.int32).sum(), None
+                return carry + fn(pp, xx, ll, key).astype(jnp.int32).sum(), None
 
             keys = jax.random.split(
                 jax.random.fold_in(jax.random.PRNGKey(0), seed), repeats
@@ -127,14 +147,15 @@ def main():
             total, _ = jax.lax.scan(body, jnp.int32(0), keys)
             return total
 
-        return lambda seed: int(run(params, xx, ll, jnp.int32(seed)))
+        return lambda seed: int(run(pp, xx, ll, jnp.int32(seed)))
 
-    def measure(fn, xx=x, ll=labels, chain=CHAIN):
+    def measure(fn, pp=params, xx=x, ll=labels, chain=CHAIN, trials=TRIALS):
         # sub-10ms calls need a longer chain: the delta must dominate the
         # relay's run-to-run latency jitter
-        return _timed_delta(
-            chained(fn, 1, xx, ll), chained(fn, 1 + chain, xx, ll), 1 + chain
-        )
+        f1 = chained(fn, 1, pp, xx, ll)
+        fR = chained(fn, 1 + chain, pp, xx, ll)
+        f1(0), fR(0)  # compile both
+        return min(_deltas(f1, fR, 1 + chain, trials))
 
     # ---- secondary: training step (fwd+bwd+clip+Adam+EMA) ----
     loss_fn = make_loss_fn(
@@ -164,7 +185,9 @@ def main():
 
         return lambda seed: float(run(state, xt, lt, jnp.int32(seed)))
 
-    train_sec = _timed_delta(chained_train(1), chained_train(1 + CHAIN), 1 + CHAIN)
+    t1, tR = chained_train(1), chained_train(1 + CHAIN)
+    t1(0), tR(0)
+    train_sec = min(_deltas(t1, tR, 1 + CHAIN, TRIALS))
     print(
         json.dumps(
             {
@@ -245,7 +268,32 @@ def main():
         flush=True,
     )
 
-    fused_sec = measure(classify)
+    # secondary: staged tournament — the framework's best full-protocol
+    # operating point (reference stage pruning `:717-721` as fixed shapes)
+    classify_staged = make_classifier(
+        prod_apply,
+        schedule_fn,
+        pred_param="v",
+        num_classes=CLASSES,
+        n_stages=2,
+        evaluation_per_stage=(2, 6),
+        n_keep_per_stage=(3, 1),
+        class_chunk=CLASS_CHUNK,
+        encode_fn=encode_fn,
+        tail_fn=tail_fn,
+    )
+    staged_sec = measure(classify_staged)
+    print(
+        json.dumps(
+            {
+                "metric": "elbo_classify_staged_images_per_sec",
+                "value": round(BATCH / staged_sec, 3),
+                "unit": "images/sec",
+                "protocol": "2 evals x 10 classes -> 4 evals x top-3",
+            }
+        ),
+        flush=True,
+    )
 
     # ---- reference execution model: per-(eval, class) forwards, on-device ----
     # `faithful=True` reconstructs the reference's actual cost model: every
@@ -291,22 +339,255 @@ def main():
 
         return sequential_fn
 
-    faithful_sec = measure(make_sequential(True))
-    licm_sec = measure(make_sequential(False))
+    # Interleaved paired trials: one (fused, faithful, licm) triple per trial
+    # so slow relay drift hits all three programs alike; the reported band is
+    # min/max of the per-trial ratios (VERDICT r2: resolve the 1.01-1.08
+    # jitter band instead of reporting a point inside it).
+    progs = {}
+    for name, fn in (
+        ("fused", classify),
+        ("faithful", make_sequential(True)),
+        ("licm", make_sequential(False)),
+    ):
+        f1 = chained(fn, 1, params, x, labels)
+        fR = chained(fn, 1 + CHAIN, params, x, labels)
+        f1(0), fR(0)  # compile
+        progs[name] = (f1, fR)
+    series = {name: [] for name in progs}
+    for i in range(HEADLINE_TRIALS):
+        for name, (f1, fR) in progs.items():
+            series[name].extend(_deltas(f1, fR, 1 + CHAIN, 1))
 
-    fused_ips = BATCH / fused_sec
+    fused_med = _median(series["fused"])
+    ratios_faithful = sorted(
+        f / g for f, g in zip(series["faithful"], series["fused"])
+    )
+    ratios_licm = sorted(
+        f / g for f, g in zip(series["licm"], series["fused"])
+    )
+
+    # ---- roofline: XLA cost analysis of ONE fused classify call ----
+    # Flop/byte counts come from the fully-unrolled megabatch variant
+    # (eval_group=EVALS, no class chunking): the math is identical to the
+    # production program for any schedule knobs, but XLA's cost analysis
+    # counts a lax.scan body ONCE, not times its trip count — analyzing the
+    # production class-chunk scan undercounts ~(evals x chunks)x. Time is
+    # the production program's measured median.
+    classify_flat = make_classifier(
+        prod_apply,
+        schedule_fn,
+        pred_param="v",
+        num_classes=CLASSES,
+        n_stages=1,
+        evaluation_per_stage=(EVALS,),
+        n_keep_per_stage=(1,),
+        eval_group=EVALS,
+        encode_fn=encode_fn,
+        tail_fn=tail_fn,
+    )
+    try:
+        cost = (
+            jax.jit(classify_flat)
+            .lower(params, x, labels, jax.random.PRNGKey(0))
+            .compile()
+            .cost_analysis()
+        )
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        bytes_acc = float(cost.get("bytes accessed", 0.0))
+        if flops > 0 and bytes_acc > 0 and fused_med > 0:
+            achieved = flops / fused_med
+            intensity = flops / bytes_acc  # FLOP per HBM byte (unrolled
+            # variant's byte count — the production scan streams fewer
+            # distinct bytes, so this is a lower bound on locality)
+            print(
+                json.dumps(
+                    {
+                        "metric": "classify_achieved_tflops",
+                        "value": round(achieved / 1e12, 2),
+                        "unit": "TFLOP/s",
+                        "mfu_pct": round(100 * achieved / PEAK_FLOPS, 1),
+                        "arithmetic_intensity_flop_per_byte": round(intensity, 1),
+                        "ridge_flop_per_byte": round(PEAK_FLOPS / PEAK_HBM, 1),
+                    }
+                ),
+                flush=True,
+            )
+    except Exception as e:  # cost analysis is best-effort on the relay
+        print(json.dumps({"metric": "classify_achieved_tflops",
+                          "value": None, "error": str(e)[:120]}), flush=True)
+
+    # ---- CheXpert-256 DWT-UNet + DiT-b4 lines (BASELINE.json config #2/#3) --
+    for line in _chexpert_lines(measure):
+        print(json.dumps(line), flush=True)
+
+    # ---- headline (LAST line, driver contract) ----
     print(
         json.dumps(
             {
                 "metric": "elbo_classify_images_per_sec",
-                "value": round(fused_ips, 3),
+                "value": round(BATCH / fused_med, 3),
                 "unit": "images/sec",
-                "vs_baseline": round(faithful_sec / fused_sec, 3),
-                "vs_licm_hoisted_baseline": round(licm_sec / fused_sec, 3),
+                "vs_baseline": round(_median(ratios_faithful), 3),
+                "vs_baseline_band": [
+                    round(ratios_faithful[0], 3),
+                    round(ratios_faithful[-1], 3),
+                ],
+                "vs_licm_hoisted_baseline": round(_median(ratios_licm), 3),
+                "vs_licm_band": [
+                    round(ratios_licm[0], 3),
+                    round(ratios_licm[-1], 3),
+                ],
+                "trials": HEADLINE_TRIALS,
             }
         ),
         flush=True,
     )
+
+
+def _chexpert_lines(measure):
+    """Measure BASELINE.json's CheXpert-256 configs; yields JSON dicts.
+
+    Both configs run the production engine path: in-graph Haar DWT
+    (256px/3ch → 128px/12ch, engine `_prepare_batch` parity) feeding the
+    classify tournament with the binary healthy-vs-sick protocol
+    (`/root/reference/experiments/chexpert-unet/train.py:118-138`,
+    `/root/reference/experiments/chexpert-dit/train.py:116-134`).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from diffusion_classifier_tpu.diffusion.classify import make_classifier
+    from diffusion_classifier_tpu.diffusion.schedule import make_schedule_fn
+    from diffusion_classifier_tpu.engine.denoiser import Denoiser
+    from diffusion_classifier_tpu.models import UNetCondition2D, UNetConfig
+    from diffusion_classifier_tpu.models.dit import DiT, DiTConfig
+    from diffusion_classifier_tpu.models.encoders import ClassEmbedder
+    from diffusion_classifier_tpu.ops.wavelet import haar_dwt2
+
+    rng = jax.random.PRNGKey(0)
+    # raw 256px images; the DWT runs inside the measured program (engine
+    # parity: every image entering the engine is decomposed on device)
+    x_raw = jax.random.uniform(
+        rng, (CX_BATCH, 256, 256, 3), minval=-1, maxval=1
+    )
+    labels = jnp.zeros((CX_BATCH,), jnp.int32)
+    # engine schedule parity: shift uses the PRE-DWT image size (engine
+    # `diffusion_classifier.py:83-85` passes config.image_size=256, noise_d=64)
+    schedule_fn = make_schedule_fn("shifted_cosine", 64, 256)
+    dwt = lambda img: haar_dwt2(img) / 2.0
+
+    # -- CheXpert-256 DWT-UNet (3-level 256/512/768, cross-attn 256) --
+    unet = Denoiser(
+        backbone=UNetCondition2D(
+            UNetConfig(
+                sample_size=128,
+                in_channels=12,
+                out_channels=12,
+                layers_per_block=2,
+                block_out_channels=(256, 512, 768),
+                down_block_types=(
+                    "DownBlock2D", "DownBlock2D", "CrossAttnDownBlock2D",
+                ),
+                up_block_types=(
+                    "CrossAttnUpBlock2D", "UpBlock2D", "UpBlock2D",
+                ),
+                mid_block_type="UNetMidBlock2DCrossAttn",
+                encoder_hid_dim=256,
+                encoder_hid_dim_type="text_proj",
+                cross_attention_dim=256,
+            ),
+            dtype=jnp.bfloat16,
+        ),
+        encoder=ClassEmbedder(2, 256, dtype=jnp.bfloat16),
+    )
+    x0 = dwt(x_raw)
+    params = unet.init(rng, x0, jnp.zeros((CX_BATCH,)), labels)
+    apply_fn = lambda p, z, lg, lab: unet.apply(p, z, lg, lab)
+    encode_fn = lambda p, z, lg: unet.apply(p, z, lg, None, mode="encode")
+    tail_fn = lambda p, s, lab: unet.apply(
+        p, None, None, lab, mode="tail", prefix_state=s
+    )
+
+    def cx_classify(b):
+        inner = make_classifier(
+            apply_fn,
+            schedule_fn,
+            pred_param="v",
+            num_classes=2,
+            n_stages=1,
+            evaluation_per_stage=(EVALS,),
+            n_keep_per_stage=(1,),
+            class_chunk=CLASS_CHUNK if b > 1 else 0,
+            encode_fn=encode_fn,
+            tail_fn=tail_fn,
+        )
+        # in-graph DWT + tournament = the engine's production program
+        return lambda p, xx, ll, key: inner(p, dwt(xx), ll, key)
+
+    sec = measure(
+        cx_classify(CX_BATCH), pp=params, xx=x_raw, ll=labels,
+        chain=CX_CHAIN, trials=CX_TRIALS,
+    )
+    yield {
+        "metric": "chexpert_unet_dwt_classify_images_per_sec",
+        "value": round(CX_BATCH / sec, 3),
+        "unit": "images/sec",
+        "protocol": f"binary, {EVALS} evals, 256px DWT->128px/12ch",
+    }
+    lat = measure(
+        cx_classify(1), pp=params, xx=x_raw[:1], ll=labels[:1],
+        chain=8, trials=CX_TRIALS,
+    )
+    yield {
+        "metric": "chexpert_unet_dwt_classify_b1_latency_ms",
+        "value": round(lat * 1e3, 3),
+        "unit": "ms",
+    }
+
+    # -- CheXpert-256 DiT-b4 (384 wide, 12 layers, patch 4 → 1024 tokens;
+    #    attn_backend='auto' routes to the Pallas flash-attention kernel) --
+    dit = Denoiser(
+        backbone=DiT(
+            DiTConfig(
+                num_attention_heads=6,
+                attention_head_dim=64,
+                in_channels=12,
+                out_channels=12,
+                num_layers=12,
+                sample_size=128,
+                patch_size=4,
+                num_classes=2,
+                attn_backend="auto",
+            ),
+            dtype=jnp.bfloat16,
+        ),
+        encoder=None,  # encoder_type='DiT': labels feed the AdaLN class table
+    )
+    dit_params = dit.init(rng, x0, jnp.zeros((CX_BATCH,)), labels)
+    dit_apply = lambda p, z, lg, lab: dit.apply(p, z, lg, lab)
+    dit_inner = make_classifier(
+        dit_apply,
+        schedule_fn,
+        pred_param="v",
+        num_classes=2,
+        n_stages=1,
+        evaluation_per_stage=(EVALS,),
+        n_keep_per_stage=(1,),
+        class_chunk=CLASS_CHUNK,
+    )
+    dit_fn = lambda p, xx, ll, key: dit_inner(p, dwt(xx), ll, key)
+    sec = measure(
+        dit_fn, pp=dit_params, xx=x_raw, ll=labels,
+        chain=CX_CHAIN, trials=CX_TRIALS,
+    )
+    yield {
+        "metric": "chexpert_dit_b4_classify_images_per_sec",
+        "value": round(CX_BATCH / sec, 3),
+        "unit": "images/sec",
+        "protocol": f"binary, {EVALS} evals, 1024 tokens, pallas flash attn",
+    }
 
 
 if __name__ == "__main__":
