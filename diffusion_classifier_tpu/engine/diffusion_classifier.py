@@ -358,6 +358,14 @@ class DiffusionClassifier:
         # Preemption safety (SURVEY §5.3): on SIGTERM/SIGINT, checkpoint the
         # latest state before exiting so `resume` continues cleanly. The
         # reference has no preemption handling (recovery is manual).
+        # MULTI-PROCESS CAVEAT: the handler installs on the main process
+        # only, matching checkpointing being main-only. Under a real
+        # multi-process mesh the save fetches globally-sharded state, which
+        # requires ALL processes alive and participating — a handler firing
+        # on rank 0 after another rank died would hang in the collective
+        # rather than save. Orchestrators must deliver the signal to every
+        # rank (standard SLURM/GKE behavior); non-main ranks exit on the
+        # default handler while rank 0 writes.
         current_epoch = start_epoch
         if cfg.save_on_signal and self.is_main_process:
 

@@ -32,13 +32,28 @@ __all__ = [
 
 
 def init_distributed() -> None:
-    """Multi-host init (no-op on a single process). Call before device queries."""
-    if (
-        jax.process_count() == 1
-        and os.environ.get("JAX_COORDINATOR_ADDRESS") is None
-    ):
+    """Multi-host init (no-op on a single process). Call before device queries.
+
+    Cluster shape comes from the standard ``JAX_COORDINATOR_ADDRESS`` plus our
+    explicit ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID`` env vars when set
+    (SLURM/OMPI auto-detection otherwise) — the TPU-native stand-in for the
+    reference's Accelerate/NCCL process-group bootstrap
+    (`diffusion/diffusion_classifier.py:375-386`). Exercised for real by the
+    2-process CPU cluster in `tests/test_multiprocess.py`.
+    """
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr is None:
+        # No cluster configured. Deliberately NOT querying
+        # jax.process_count() here: that would initialize the XLA backend,
+        # after which jax.distributed.initialize refuses to run.
         return
-    jax.distributed.initialize()  # pragma: no cover - needs a real cluster
+    n = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=int(n) if n is not None else None,
+        process_id=int(pid) if pid is not None else None,
+    )
 
 
 def make_mesh(
@@ -115,17 +130,32 @@ def local_rows(arr) -> np.ndarray:
     """
     if isinstance(arr, np.ndarray) or arr.is_fully_addressable:
         return np.asarray(arr)
-    # Dedup shards covering the same row range: under a model axis > 1 (TP)
+    # Dedup shards covering the same index range: under a model axis > 1 (TP)
     # or a compiler-replicated output, several local devices hold identical
     # copies of each row slice — concatenating them all would double-count
-    # rows against the loader's host-local batch.
-    seen = set()  # pragma: no cover - needs a real multi-process run
+    # rows against the loader's host-local batch. Dedup keys on the FULL
+    # index tuple so an array sharded along a non-batch axis (distinct
+    # index[1:], identical index[0]) errors loudly below instead of being
+    # silently truncated to one shard.
+    def _key(s):
+        return tuple(
+            (sl.start or 0, sl.stop) for sl in s.index
+        )
+
+    seen = set()
     shards = []
     for s in arr.addressable_shards:
-        start = s.index[0].start or 0
-        if start in seen:
+        k = _key(s)
+        if k in seen:
             continue
-        seen.add(start)
+        seen.add(k)
         shards.append(s)
+    for s in shards:
+        for d, sl in enumerate(s.index[1:], start=1):
+            if (sl.start or 0) != 0 or (sl.stop is not None and sl.stop != arr.shape[d]):
+                raise ValueError(
+                    "local_rows requires sharding along the batch axis only; "
+                    f"got a shard covering {s.index} of global {arr.shape}"
+                )
     shards.sort(key=lambda s: (s.index[0].start or 0))
     return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
