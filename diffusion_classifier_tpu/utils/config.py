@@ -90,6 +90,9 @@ class ExperimentConfig:
     patch_size: int = 2  # DiT
     variant: str = "resnet18"  # discriminative baseline
     pretrained: bool = False
+    # OOD evaluation dataset for the chexpert ood.py CLIs
+    # (BASELINE.json multi-dataset sweep; also settable via --dataset)
+    ood_dataset: str = "mimic"  # 'mimic' | 'padchest' | 'isic'
     # --- runtime ---
     slurm: bool = False
     # parameter/optimizer-state placement over the mesh: 'tp' shards the big
@@ -99,7 +102,6 @@ class ExperimentConfig:
     param_sharding: str = "tp"  # 'tp' | 'fsdp' | 'replicated'
     attn_backend: str = "auto"  # 'auto' | 'xla' | 'pallas' (auto: measured
     # routing — pallas flash attention for sequences >= 512 tokens)
-    resnet_backend: str = "xla"  # 'xla' | 'pallas' (fused resnet-block kernel)
     # debug/observability (SURVEY §5.2: the reference has no sanitizers; JAX
     # purity + these toggles are the TPU-native equivalent)
     debug_nans: bool = False

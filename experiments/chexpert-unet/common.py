@@ -51,7 +51,6 @@ def build_backbone(config: ExperimentConfig):
             encoder_hid_dim_type="text_proj",
             cross_attention_dim=256,
             attn_backend=config.attn_backend,
-            resnet_backend=config.resnet_backend,
         ),
         dtype=dtype,
     )

@@ -51,7 +51,6 @@ def build_backbone(config: ExperimentConfig):
             encoder_hid_dim_type="text_proj",
             cross_attention_dim=128,
             attn_backend=config.attn_backend,
-            resnet_backend=config.resnet_backend,
         ),
         dtype=dtype,
     )
@@ -61,8 +60,8 @@ def build_backbone(config: ExperimentConfig):
 def build_data(config: ExperimentConfig):
     if config.data_path == "synthetic":
         return SyntheticDataLoader(
-            num_train=2048,
-            num_val=512,
+            num_train=512,
+            num_val=128,
             batch_size=config.batch_size,
             image_size=config.image_size,
             channels=config.image_channels,

@@ -1,0 +1,191 @@
+"""Experiment CLI contract tests (round-2 verdict item 5).
+
+The reference's public surface is ``python train.py`` driven by
+``TRAINING_CONFIG``/``INFERENCE_CONFIG`` env-var JSON
+(`/root/reference/experiments/cifar10/train.py:24-38`). These tests pin that
+contract with pytest instead of the manual hardware sweep:
+
+- cifar10 ``train.py`` runs end-to-end in a REAL subprocess on a tiny
+  synthetic config, then ``inference.py`` classifies against the checkpoint
+  it wrote — env-JSON plumbing, engine wiring, plotter, and checkpoint
+  layout all exercised through the actual entry points.
+- Every family's ``build_backbone``/``build_data``/``build_engine`` wiring is
+  constructed in-process on a tiny config (this is the layer where a stale
+  kwarg — e.g. the removed ``resnet_backend`` — turns into a runtime
+  TypeError that import-only tests cannot see).
+- Every entry-point module (train/inference/ood/explain) imports cleanly and
+  exposes a ``main`` callable.
+"""
+
+import importlib
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from diffusion_classifier_tpu.utils.config import ExperimentConfig
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+FAMILIES = {
+    "cifar10": ("train", "inference"),
+    "chexpert-unet": ("train", "inference", "ood"),
+    "chexpert-dit": ("train", "inference", "ood"),
+    "ipmsa": ("train", "inference", "explain"),
+    "ipmsa-dit": ("train", "inference"),
+    "ipmsa-classifier": ("train", "inference"),
+}
+
+
+def _tiny_cfg(**over):
+    base = dict(
+        pred_param="v",
+        schedule="shifted_cosine",
+        noise_d=8,
+        image_size=8,
+        image_channels=3,
+        classes=2,
+        cfg_w=0.1,
+        ema_beta=0.99,
+        ema_warmup=0,
+        ema_update_freq=1,
+        mixed_precision="no",
+        data_path="synthetic",
+        batch_size=8,
+        num_workers=0,
+        n_stages=1,
+        evaluation_per_stage=(1,),
+        n_keep_per_stage=(1,),
+        use_comet=False,
+    )
+    base.update(over)
+    return ExperimentConfig(**base)
+
+
+def _import_family(experiment, module):
+    """Import an experiment-local module with its family's common.py."""
+    exp_dir = os.path.join(REPO, "experiments", experiment)
+    sys.path.insert(0, exp_dir)
+    for mod in ("common", module):
+        sys.modules.pop(mod, None)
+    try:
+        return importlib.import_module(module)
+    finally:
+        sys.path.remove(exp_dir)
+        for mod in ("common", module):
+            sys.modules.pop(mod, None)
+
+
+@pytest.mark.parametrize("experiment", sorted(FAMILIES))
+def test_family_wiring_constructs(experiment):
+    """build_backbone + build_data + build_engine run on a tiny config.
+
+    Construction-level regressions (stale kwargs into model configs, renamed
+    loader params) surface here without paying for a full train run.
+    """
+    common = _import_family(experiment, "common")
+    cfg = _tiny_cfg(
+        classes=10 if experiment == "cifar10" else 2,
+        patch_size=2,
+        variant="resnet18",
+        encoder_type="DiT" if experiment.endswith("dit") else "nn",
+    )
+    data = common.build_data(cfg)
+    assert data.get_train_loader() is not None
+    engine = common.build_engine(cfg)
+    assert engine is not None
+    if hasattr(common, "build_backbone"):
+        assert common.build_backbone(cfg) is not None
+
+
+@pytest.mark.parametrize(
+    "experiment,module",
+    [(e, m) for e, mods in sorted(FAMILIES.items()) for m in mods],
+)
+def test_entry_modules_import_and_expose_main(experiment, module):
+    mod = _import_family(experiment, module)
+    assert callable(getattr(mod, "main", None)), (
+        f"{experiment}/{module}.py must expose main()"
+    )
+
+
+def _run_cli(exp_dir, script, env_var, cfg, timeout=1500):
+    env = dict(os.environ)
+    env[env_var] = json.dumps(cfg)
+    # The subprocess must be pure-CPU: the axon sitecustomize (loaded from
+    # PYTHONPATH) re-pins JAX_PLATFORMS=axon at interpreter startup, which
+    # routes every jit through the remote TPU relay (minutes per compile) —
+    # so drop its site dir from PYTHONPATH entirely, then force the platform.
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon" not in p
+    ) or REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    # conftest exports an 8-virtual-device XLA_FLAGS for the parent pytest
+    # process; inheriting it makes the subprocess run an 8-way sharded
+    # program on one physical core (~3x slower) — give it ONE device.
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, script],
+        cwd=exp_dir,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+    )
+    assert proc.returncode == 0, (
+        f"{script} failed\nstdout:\n{proc.stdout[-4000:]}\n"
+        f"stderr:\n{proc.stderr[-4000:]}"
+    )
+    return proc
+
+
+def test_cifar10_train_then_inference_cli(tmp_path):
+    """The reference workflow end-to-end through the real entry points."""
+    exp_dir = os.path.join(REPO, "experiments", "cifar10")
+    cfg = dict(
+        pred_param="v",
+        schedule="shifted_cosine",
+        noise_d=8,
+        image_size=8,
+        image_channels=3,
+        classes=10,
+        cfg_w=0.1,
+        encoder_type="nn",
+        ema_beta=0.99,
+        ema_warmup=0,
+        ema_update_freq=1,
+        mixed_precision="no",
+        num_epochs=1,
+        save_image_epochs=5,  # > num_epochs: skip in-loop eval
+        eval_period=1,
+        evaluation_batches=1,
+        sampling_steps=2,
+        seed=0,
+        data_path="synthetic",
+        batch_size=128,
+        num_workers=0,
+        learning_rate=1e-3,
+        lr_warmup_steps=2,
+        classification=True,
+        n_stages=1,
+        evaluation_per_stage=[1],
+        n_keep_per_stage=[1],
+        project_root=str(tmp_path),
+        experiment_dir="cifar-smoke",
+        use_comet=False,
+    )
+    _run_cli(exp_dir, "train.py", "TRAINING_CONFIG", cfg)
+    ckpt_dir = tmp_path / "cifar-smoke" / "checkpoints"
+    assert (ckpt_dir / "experiment_state.json").exists(), (
+        "train.py must write the checkpoint sidecar"
+    )
+
+    inf_cfg = dict(cfg, checkpoint_folder="checkpoints")
+    inf_cfg.pop("num_epochs")
+    proc = _run_cli(exp_dir, "inference.py", "INFERENCE_CONFIG", inf_cfg)
+    # inference prints the metric dict (reference chance-floor print parity)
+    assert "accuracy" in proc.stdout.lower(), proc.stdout[-2000:]
