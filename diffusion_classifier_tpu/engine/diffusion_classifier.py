@@ -85,16 +85,23 @@ class DiffusionClassifier:
         )
         t5_table = None
         if config.encoder_type == "t5":
-            from ..models.encoders import build_t5_class_table
+            if config.t5_table_path:
+                # Precomputed [C+1, S, D] table from disk: serving/training
+                # needs neither transformers nor tokenizer files at runtime
+                # (the reference re-runs tokenizer + T5 on every call,
+                # `diffusion/diffusion_classifier.py:93-98`).
+                t5_table = jnp.asarray(np.load(config.t5_table_path))
+            else:
+                from ..models.encoders import build_t5_class_table
 
-            names = config.t5_class_names or [
-                str(i) for i in range(config.classes)
-            ]
-            t5_table = build_t5_class_table(
-                names,
-                model_path=config.t5_path,
-                max_length=config.t5_max_length,
-            )
+                names = config.t5_class_names or [
+                    str(i) for i in range(config.classes)
+                ]
+                t5_table = build_t5_class_table(
+                    names,
+                    model_path=config.t5_path,
+                    max_length=config.t5_max_length,
+                )
         encoder, self.null_token = make_encoder(
             config.encoder_type,
             num_classes=config.classes,

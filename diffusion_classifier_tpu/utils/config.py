@@ -39,6 +39,11 @@ class ExperimentConfig:
     t5_path: str = "t5-base"
     t5_class_names: Optional[Sequence[str]] = None
     t5_max_length: int = 8
+    # precomputed [C+1, S, D] class-embedding table (.npy) — when set, the
+    # engine loads it instead of running the T5 encoder (no transformers /
+    # tokenizer files needed at runtime; build once with
+    # models.encoders.build_t5_class_table and np.save)
+    t5_table_path: Optional[str] = None
     # --- EMA (ema_pytorch semantics, reference :51-56) ---
     ema_beta: float = 0.9999
     ema_warmup: int = 100
