@@ -38,19 +38,29 @@ is computed from the DELTA between a 1-repeat and an R-repeat on-device
 relay latency and dispatch cost cancel out.
 """
 
+import itertools
 import json
 import sys
 import time
 
 sys.path.insert(0, ".")
 
-BATCH = 32
+# Headline operating point. Measured sweep (BASELINE.md round-3 operating
+# point probe): at class_chunk=1 the chip peaks at B=64 (466-481 img/s vs
+# 449-456 at B=32); B=128 regresses (~448) — the class-scan's weight-stream
+# reuse window is exceeded and the per-iteration activations spill. The
+# faithful/licm baseline ratios are unchanged at B=64 (bands exclude 1.0).
+BATCH = 64
 CLASSES = 10
 EVALS = 4
 CHAIN = 8  # extra repeats for the delta measurement
 TRIALS = 5  # best-of for secondary lines; the relay jitter is the noise floor
 HEADLINE_TRIALS = 10  # paired fused/baseline trials for the ratio band
+HEADLINE_INNER = 2  # deltas per program per trial; min taken (relay noise is
+# one-sided slow, so a single-delta trial can misorder a ratio by ~5%)
 TRAIN_BATCH = 64
+SAMPLER_BATCH = 32  # sampler line stays at B=32: steps/sec is batch-dependent
+# and this keeps the metric comparable across rounds (BASELINE.md history)
 SAMPLER_STEPS = 32
 
 # CheXpert-256 lines (binary healthy-vs-sick, DWT path): heavier model, fewer
@@ -70,15 +80,29 @@ PEAK_FLOPS = 197e12
 PEAK_HBM = 819e9
 
 
+_seed_counter = None
+
+
+def _next_seed():
+    """Globally unique measurement seed — unique within AND across bench
+    processes (time-based start), so the relay's duplicate-execution cache
+    can never short-circuit a repeated measurement of the same program."""
+    global _seed_counter
+    if _seed_counter is None:
+        _seed_counter = itertools.count((int(time.time()) % 1_000_000) * 1_000)
+    return next(_seed_counter)
+
+
 def _deltas(fn1, fnR, repeats, trials):
     """Per-repeat seconds from (T_R − T_1)/(R−1), one value per trial."""
     out = []
-    for i in range(trials):
+    for _ in range(trials):
+        s = _next_seed()
         t0 = time.perf_counter()
-        fn1(i + 1)
+        fn1(s)
         t1 = time.perf_counter() - t0
         t0 = time.perf_counter()
-        fnR(i + 1)
+        fnR(s)
         tr = time.perf_counter() - t0
         out.append((tr - t1) / (repeats - 1))
     return out
@@ -154,7 +178,7 @@ def main():
         # relay's run-to-run latency jitter
         f1 = chained(fn, 1, pp, xx, ll)
         fR = chained(fn, 1 + chain, pp, xx, ll)
-        f1(0), fR(0)  # compile both
+        f1(_next_seed()), fR(_next_seed())  # compile both
         return min(_deltas(f1, fR, 1 + chain, trials))
 
     # ---- secondary: training step (fwd+bwd+clip+Adam+EMA) ----
@@ -186,7 +210,7 @@ def main():
         return lambda seed: float(run(state, xt, lt, jnp.int32(seed)))
 
     t1, tR = chained_train(1), chained_train(1 + CHAIN)
-    t1(0), tR(0)
+    t1(_next_seed()), tR(_next_seed())
     train_sec = min(_deltas(t1, tR, 1 + CHAIN, TRIALS))
     print(
         json.dumps(
@@ -216,14 +240,16 @@ def main():
             axis=(1, 2, 3)
         )
 
-    sample_sec = measure(sample_fn)
+    sample_sec = measure(
+        sample_fn, xx=x[:SAMPLER_BATCH], ll=labels[:SAMPLER_BATCH]
+    )
     print(
         json.dumps(
             {
                 "metric": "sampler_steps_per_sec",
                 "value": round(SAMPLER_STEPS / sample_sec, 3),
                 "unit": "steps/sec",
-                "batch": BATCH,
+                "batch": SAMPLER_BATCH,
             }
         ),
         flush=True,
@@ -351,12 +377,14 @@ def main():
     ):
         f1 = chained(fn, 1, params, x, labels)
         fR = chained(fn, 1 + CHAIN, params, x, labels)
-        f1(0), fR(0)  # compile
+        f1(_next_seed()), fR(_next_seed())  # compile
         progs[name] = (f1, fR)
     series = {name: [] for name in progs}
     for i in range(HEADLINE_TRIALS):
         for name, (f1, fR) in progs.items():
-            series[name].extend(_deltas(f1, fR, 1 + CHAIN, 1))
+            series[name].append(
+                min(_deltas(f1, fR, 1 + CHAIN, HEADLINE_INNER))
+            )
 
     fused_med = _median(series["fused"])
     ratios_faithful = sorted(
