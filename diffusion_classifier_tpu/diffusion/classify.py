@@ -28,6 +28,7 @@ image (reference `:711`), accumulated in float32.
 
 from __future__ import annotations
 
+import math
 from typing import Callable, Sequence
 
 import jax
@@ -39,11 +40,30 @@ from .schedule import alpha_sigma
 __all__ = ["make_classifier", "auto_eval_group"]
 
 
-def auto_eval_group(n_evals: int, batch: int, k_classes: int, target: int = 512) -> int:
-    """Largest divisor G of ``n_evals`` with megabatch ``B·K·G ≤ target``."""
+#: elements of one CIFAR image — the unit ``megabatch_target`` is calibrated in
+_REF_IMG_ELEMS = 32 * 32 * 3
+
+
+def auto_eval_group(
+    n_evals: int,
+    batch: int,
+    k_classes: int,
+    target: int = 512,
+    img_elems: int = _REF_IMG_ELEMS,
+) -> int:
+    """Largest divisor G of ``n_evals`` with megabatch ``B·K·G ≤ budget``.
+
+    ``target`` is in CIFAR-equivalent images (32·32·3 elements); the budget
+    scales down with the actual per-image element count so the auto choice
+    never builds a megabatch whose activations exceed HBM — a 128²×12
+    CheXpert-DWT image is 64 CIFAR-equivalents, so its image budget is
+    512/64 = 8 (measured: B=32, K=2, G=4 OOMs a 16 GB v5e chip while G=1
+    fits with headroom — BASELINE.md round-3 CheXpert probe).
+    """
+    budget = max(1, (target * _REF_IMG_ELEMS) // max(img_elems, 1))
     best = 1
     for g in range(1, n_evals + 1):
-        if n_evals % g == 0 and batch * k_classes * g <= target:
+        if n_evals % g == 0 and batch * k_classes * g <= budget:
             best = g
     return best
 
@@ -248,7 +268,8 @@ def make_classifier(
         for i in range(n_stages):
             n_evals = ev[i + 1] - ev[i]
             group = eval_group or auto_eval_group(
-                n_evals, b, cand.shape[1], megabatch_target
+                n_evals, b, cand.shape[1], megabatch_target,
+                img_elems=math.prod(x.shape[1:]),
             )
             identity = (not fast) and i == 0 and cand.shape[1] == num_classes
             err_sum, count = _score_stage(

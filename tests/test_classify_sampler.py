@@ -127,6 +127,20 @@ def test_auto_eval_group_divides():
     assert auto_eval_group(16, 64, 10, target=512) == 1
 
 
+def test_auto_eval_group_scales_with_image_elements():
+    # target counts CIFAR-equivalent (32*32*3-element) images: a 128x128x12
+    # CheXpert-DWT image is 64 of them, so the image budget is 512/64 = 8 —
+    # B=32 x K=2 exceeds it at ANY group (G=1 floor), B=1 serving still
+    # megabatches (1*2*4 = 8 <= 8).
+    cx = 128 * 128 * 12
+    assert auto_eval_group(4, 32, 2, target=512, img_elems=cx) == 1
+    assert auto_eval_group(4, 16, 2, target=512, img_elems=cx) == 1
+    assert auto_eval_group(4, 1, 2, target=512, img_elems=cx) == 4
+    # CIFAR-sized images keep the historical behavior exactly
+    assert auto_eval_group(4, 64, 10, target=512, img_elems=32 * 32 * 3) == 1
+    assert auto_eval_group(4, 1, 10, target=512, img_elems=32 * 32 * 3) == 4
+
+
 def test_sampler_oracle_reconstructs_template():
     sampler = make_sampler(
         oracle_apply,
