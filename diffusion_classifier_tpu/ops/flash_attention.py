@@ -20,8 +20,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["flash_attention", "supports"]
 
-_BLOCK_Q = 256
+_BLOCK_Q = 512
 _MAX_SEQ = 4096
+_LOG2_E = 1.4426950408889634
 
 
 def supports(q: jax.Array, k: jax.Array, v: jax.Array) -> bool:
@@ -41,14 +42,20 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     k = k_ref[0].astype(jnp.float32)  # [S, D]
     v = v_ref[0]                      # [S, D]
 
-    s = jnp.dot(q * scale, k.T, preferred_element_type=jnp.float32)  # [BLK_Q, S]
+    # The kernel is VPU-bound, not MXU-bound (~16% matmul MFU at S=1024) —
+    # softmax elementwise work dominates, so: (a) exp via the native exp2
+    # with log2(e) pre-folded into the qk scale, and (b) the 1/l normalizer
+    # applied to the [BLK_Q, D] output instead of the [BLK_Q, S] probability
+    # matrix (S/D x fewer divides). Measured together: −9..13% kernel time at
+    # the 1024-token DiT shapes (benchmarks/flash_tune_verify.py).
+    s = jnp.dot(
+        q * (scale * _LOG2_E), k.T, preferred_element_type=jnp.float32
+    )  # [BLK_Q, S]
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
+    p = jnp.exp2(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    o = jnp.dot(
-        (p / l).astype(v.dtype), v, preferred_element_type=jnp.float32
-    )
-    o_ref[0] = o.astype(o_ref.dtype)
+    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = (o / l).astype(o_ref.dtype)
 
 
 def _flash_attention_impl(
