@@ -7,10 +7,11 @@ backends:
   flash-attention-style kernel. Always correct.
 - ``"pallas"`` — hand-written TPU flash-attention kernel (`ops/flash_attention.py`),
   used when shapes satisfy its tiling constraints; falls back to XLA otherwise.
-- ``"auto"`` — measured routing (TPU v5e, BASELINE.md): the pallas kernel
-  wins 2.1x at 1024-token sequences (the 256px+DWT DiT-b4 shape) and loses
-  at the short sequences of the small-UNet levels, so auto picks pallas for
-  ``S ≥ 512`` when supported, xla otherwise.
+- ``"auto"`` — measured routing (TPU v5e, BASELINE.md): the fused-heads
+  pallas kernel wins 2.2x at 1024-token sequences (the 256px+DWT DiT-b4
+  shape) and 1.6x at 256 tokens, but still loses at the 128-token
+  small-UNet levels, so auto picks pallas for ``S ≥ 256`` when supported,
+  xla otherwise.
 
 The reference delegates attention to diffusers/torch CUDA kernels
 (`nets/unet.py`, via `diffusers` blocks); here it is a first-party TPU op.
@@ -36,7 +37,7 @@ def attention(
     Softmax accumulates in float32; output dtype matches ``q``.
     """
     if backend == "auto":
-        backend = "pallas" if q.shape[1] >= 512 else "xla"
+        backend = "pallas" if q.shape[1] >= 256 else "xla"
     if backend == "pallas":
         from .flash_attention import flash_attention, supports
 

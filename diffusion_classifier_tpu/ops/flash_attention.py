@@ -1,12 +1,27 @@
 """TPU Pallas flash attention (non-causal, fixed-shape) for denoiser backbones.
 
 Replaces the reference's reliance on torch/CUDA attention kernels inside
-diffusers blocks with a first-party TPU kernel. Layout ``[B, S, H, D]``; the
-kernel runs per (batch·head, q-block) grid cell with the full K/V resident in
-VMEM — image-denoiser sequence lengths here are ≤ 4096 tokens, so K/V fit
-comfortably and online-softmax streaming across K is unnecessary. Softmax
-statistics are computed in float32 on the VPU; both matmuls hit the MXU with
+diffusers blocks with a first-party TPU kernel. Image-denoiser sequence
+lengths here are ≤ 4096 tokens, so the full K/V stays resident in VMEM and
+online-softmax streaming across K is unnecessary (measured slower —
+`benchmarks/flash_layout_probe.py`). Softmax statistics are computed in
+float32 on the VPU; both matmuls hit the MXU with
 ``preferred_element_type=float32``.
+
+Layout (round 3, "fused heads"): the kernel consumes ``[B, S, H*D]`` — a
+free reshape of the model's ``[B, S, H, D]`` — with a grid over
+``(batch, q-blocks)`` and an unrolled head loop inside the kernel, each head
+a D-wide lane slice. This removes the HBM round-trip of transposing to a
+head-major layout on both sides of the kernel (~100 MB moved at the DiT-b4
+shape) and lets head j's VPU softmax overlap head j+1's MXU matmul.
+Measured 1.50×/1.56× over the round-2 head-major kernel at the 1024-token
+DiT shapes (6/12 heads), 2.2× over ``jax.nn.dot_product_attention``.
+
+Mosaic keeps the unrolled heads' f32 score matrices live concurrently
+(software pipelining), so the q-block size is chosen to keep
+``H · block_q · S · 4B`` inside the scoped-VMEM budget; shapes too large
+for that fall back to the round-2 head-major kernel (one (batch·head,
+q-block) grid cell per head, full K/V in VMEM).
 """
 
 from __future__ import annotations
@@ -20,9 +35,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["flash_attention", "supports"]
 
-_BLOCK_Q = 512
 _MAX_SEQ = 4096
 _LOG2_E = 1.4426950408889634
+# Mosaic's per-kernel scoped-VMEM stack is 16 MB; the dominant term is the
+# unrolled heads' f32 score matrices (H·blk·S·4B). Empirical boundary on
+# v5e: H=6/blk=512/S=1024 (12.6 MB estimate) compiles, H=12/blk=512
+# (25 MB) OOMs — 13 MB keeps the measured-optimal picks on both sides.
+_SCOPED_BUDGET = 13 * 1024 * 1024
+_BH_BLOCK_Q = 512  # fallback kernel's q-block (scores ≤ 512·4096·4B = 8 MB)
 
 
 def supports(q: jax.Array, k: jax.Array, v: jax.Array) -> bool:
@@ -37,74 +57,141 @@ def supports(q: jax.Array, k: jax.Array, v: jax.Array) -> bool:
     return True
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    q = q_ref[0].astype(jnp.float32)  # [BLK_Q, D]
-    k = k_ref[0].astype(jnp.float32)  # [S, D]
-    v = v_ref[0]                      # [S, D]
+def _pick_fused_block_q(s: int, h: int) -> int | None:
+    """Largest q-block whose unrolled-head score matrices fit scoped VMEM."""
+    for blk in (512, 256, 128):
+        if h * blk * s * 4 <= _SCOPED_BUDGET:
+            return blk
+    return None
 
-    # The kernel is VPU-bound, not MXU-bound (~16% matmul MFU at S=1024) —
-    # softmax elementwise work dominates, so: (a) exp via the native exp2
-    # with log2(e) pre-folded into the qk scale, and (b) the 1/l normalizer
-    # applied to the [BLK_Q, D] output instead of the [BLK_Q, S] probability
-    # matrix (S/D x fewer divides). Measured together: −9..13% kernel time at
-    # the 1024-token DiT shapes (benchmarks/flash_tune_verify.py).
+
+def _softmax_pv(q, k, v, scale):
+    """One head's attention: f32 scores/softmax stats, MXU matmuls.
+
+    The kernel is VPU-bound, not MXU-bound (~16% matmul MFU at S=1024) —
+    softmax elementwise work dominates, so: (a) exp via the native exp2
+    with log2(e) pre-folded into the qk scale, and (b) the 1/l normalizer
+    applied to the [BLK_Q, D] output instead of the [BLK_Q, S] probability
+    matrix (S/D x fewer divides). Measured together: −9..13% kernel time
+    at the 1024-token DiT shapes (benchmarks/flash_tune_verify.py).
+    """
     s = jnp.dot(
-        q * (scale * _LOG2_E), k.T, preferred_element_type=jnp.float32
+        q.astype(jnp.float32) * (scale * _LOG2_E),
+        k.astype(jnp.float32).T,
+        preferred_element_type=jnp.float32,
     )  # [BLK_Q, S]
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp2(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-    o_ref[0] = (o / l).astype(o_ref.dtype)
+    return o / l
+
+
+def _attn_kernel_fused(q_ref, k_ref, v_ref, o_ref, *, scale: float, h: int, d: int):
+    # Heads live side-by-side on the lane axis ([blk, H*D]); each head is a
+    # D-wide lane slice. The head loop is unrolled (static trip count), so
+    # Mosaic can overlap head j's VPU softmax with head j+1's MXU matmuls.
+    for j in range(h):
+        sl = slice(j * d, (j + 1) * d)
+        o = _softmax_pv(q_ref[0, :, sl], k_ref[0, :, sl], v_ref[0, :, sl], scale)
+        o_ref[0, :, sl] = o.astype(o_ref.dtype)
+
+
+def _attn_kernel_bh(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    o = _softmax_pv(q_ref[0], k_ref[0], v_ref[0], scale)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _cost_estimate(b, s, h, d, itemsize):
+    return pl.CostEstimate(
+        flops=4 * b * h * s * s * d,
+        bytes_accessed=4 * b * h * s * d * itemsize,
+        transcendentals=b * h * s * s,
+    )
+
+
+def _flash_fused_heads(q, k, v, block_q):
+    b, s, h, d = q.shape
+    scale = 1.0 / (d**0.5)
+    blk = min(block_q, s)
+    hd = h * d
+    qf, kf, vf = (x.reshape(b, s, hd) for x in (q, k, v))
+    grid = (b, pl.cdiv(s, blk))
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel_fused, scale=scale, h=h, d=d),
+        out_shape=jax.ShapeDtypeStruct((b, s, hd), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, blk, hd), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, s, hd), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, s, hd), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, blk, hd), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=_cost_estimate(b, s, h, d, q.dtype.itemsize),
+        interpret=jax.default_backend() != "tpu",
+    )(qf, kf, vf)
+    return out.reshape(b, s, h, d)
+
+
+def _flash_bh(q, k, v, block_q):
+    b, s, h, d = q.shape
+    scale = 1.0 / (d**0.5)
+    blk = min(block_q, s)
+
+    # [B, S, H, D] → [B·H, S, D]
+    def to_bh(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+
+    grid = (b * h, pl.cdiv(s, blk))
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel_bh, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, blk, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, blk, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=_cost_estimate(b, s, h, d, q.dtype.itemsize),
+        interpret=jax.default_backend() != "tpu",
+    )(to_bh(q), to_bh(k), to_bh(v))
+    return out.reshape(b, h, s, d).transpose(0, 2, 1, 3)
 
 
 def _flash_attention_impl(
     q: jax.Array, k: jax.Array, v: jax.Array, block_q: int
 ) -> jax.Array:
     """Non-causal attention over ``[B, S, H, D]``; returns ``q.dtype``."""
-    b, s, h, d = q.shape
-    block_q = min(block_q, s)
-    scale = 1.0 / (d**0.5)
-
-    # [B, S, H, D] → [B·H, S, D]
-    def to_bh(x):
-        return x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
-
-    qb, kb, vb = to_bh(q), to_bh(k), to_bh(v)
-
-    grid = (b * h, pl.cdiv(s, block_q))
-    # Mosaic only compiles for TPU; on the CPU test mesh run interpreted.
-    interpret = jax.default_backend() != "tpu"
-    out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * s * s * d,
-            bytes_accessed=(3 * b * h * s * d + b * h * s * d) * q.dtype.itemsize,
-            transcendentals=b * h * s * s,
-        ),
-        interpret=interpret,
-    )(qb, kb, vb)
-
-    return out.reshape(b, h, s, d).transpose(0, 2, 1, 3)
+    _, s, h, _ = q.shape
+    fused_blk = _pick_fused_block_q(s, h)
+    if fused_blk is not None:
+        if block_q > 0:
+            fused_blk = min(fused_blk, block_q)
+        return _flash_fused_heads(q, k, v, fused_blk)
+    return _flash_bh(q, k, v, block_q if block_q > 0 else _BH_BLOCK_Q)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def flash_attention(
-    q: jax.Array, k: jax.Array, v: jax.Array, block_q: int = _BLOCK_Q
+    q: jax.Array, k: jax.Array, v: jax.Array, block_q: int = 0
 ) -> jax.Array:
     """Non-causal attention over ``[B, S, H, D]``; returns ``q.dtype``.
+
+    ``block_q=0`` (default) picks the largest VMEM-safe q-block
+    automatically; a positive value caps it.
 
     Differentiable: the forward runs the Pallas kernel; the backward
     rematerializes through `jax.nn.dot_product_attention` (the same

@@ -79,6 +79,29 @@ def test_flash_attention_supports_gating():
     assert not supports(q100, q100, q100)  # seq not 128-aligned
 
 
+def test_flash_attention_bh_fallback_matches_xla():
+    """Shapes whose unrolled-head score matrices exceed the scoped-VMEM
+    budget take the head-major fallback kernel; parity must hold there too."""
+    from diffusion_classifier_tpu.ops import flash_attention as fa
+
+    # h=8, s=4096: even blk=128 gives 8*128*4096*4 = 16.8 MB > budget
+    assert fa._pick_fused_block_q(4096, 8) is None
+    # the DiT-b4 production shape picks the largest block that fits
+    assert fa._pick_fused_block_q(1024, 6) == 512
+    assert fa._pick_fused_block_q(1024, 12) == 256
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
+    shape = (1, 4096, 8, 32)
+    q = jax.random.normal(k1, shape)
+    k = jax.random.normal(k2, shape)
+    v = jax.random.normal(k3, shape)
+    got = fa.flash_attention(q, k, v)
+    want = jax.nn.dot_product_attention(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-3
+    )
+
+
 def test_dit_forward_shapes_and_conditioning():
     from diffusion_classifier_tpu.models.dit import DiT, DiTConfig
 
