@@ -617,6 +617,92 @@ def _chexpert_lines(measure):
         "protocol": f"binary, {EVALS} evals, 1024 tokens, pallas flash attn",
     }
 
+    # roofline for the DiT line (same method as the headline's: cost-analyze
+    # the fully-unrolled variant — XLA counts a scan body once, so the
+    # production class-chunk scan would undercount — time the production
+    # program; the flash kernel's flops enter via its pl.CostEstimate)
+    dit_flat = make_classifier(
+        dit_apply,
+        schedule_fn,
+        pred_param="v",
+        num_classes=2,
+        n_stages=1,
+        evaluation_per_stage=(EVALS,),
+        n_keep_per_stage=(1,),
+        eval_group=EVALS,
+        class_chunk=0,
+    )
+    try:
+        cost = (
+            jax.jit(lambda p, xx, ll, key: dit_flat(p, dwt(xx), ll, key))
+            .lower(dit_params, x_raw, labels, jax.random.PRNGKey(0))
+            .compile()
+            .cost_analysis()
+        )
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        bytes_acc = float(cost.get("bytes accessed", 0.0))
+        if flops > 0 and bytes_acc > 0 and sec > 0:
+            achieved = flops / sec
+            yield {
+                "metric": "chexpert_dit_b4_achieved_tflops",
+                "value": round(achieved / 1e12, 2),
+                "unit": "TFLOP/s",
+                "mfu_pct": round(100 * achieved / PEAK_FLOPS, 1),
+                "arithmetic_intensity_flop_per_byte": round(
+                    flops / bytes_acc, 1
+                ),
+                "ridge_flop_per_byte": round(PEAK_FLOPS / PEAK_HBM, 1),
+            }
+    except Exception as e:  # cost analysis is best-effort on the relay
+        yield {
+            "metric": "chexpert_dit_b4_achieved_tflops",
+            "value": None,
+            "error": str(e)[:120],
+        }
+
+    # -- DiT-b4 train step (fwd+bwd+clip+Adam+EMA): the config where BOTH
+    #    pallas flash-attention kernels fire — the fused-heads forward and
+    #    the (batch, head)-gridded backward (`ops/flash_attention.py`) --
+    from diffusion_classifier_tpu.engine.state import (
+        EmaConfig,
+        init_train_state,
+        make_optimizer,
+    )
+    from diffusion_classifier_tpu.engine.steps import make_loss_fn, make_train_step
+
+    dit_loss = make_loss_fn(dit_apply, schedule_fn, pred_param="v", null_token=2)
+    tx = make_optimizer(1e-4, 10, 1000)
+    dit_state = init_train_state(dit_params, tx)
+    dit_step = make_train_step(dit_loss, tx, EmaConfig())
+
+    def chained_train(repeats):
+        @jax.jit
+        def run(state, xx, ll, seed):
+            def body(carry, key):
+                st, acc = carry
+                st, loss = dit_step(st, xx, ll, key)
+                return (st, acc + loss), None
+
+            keys = jax.random.split(
+                jax.random.fold_in(jax.random.PRNGKey(0), seed), repeats
+            )
+            (st, acc), _ = jax.lax.scan(body, (state, jnp.float32(0)), keys)
+            return acc
+
+        return lambda seed: float(run(dit_state, x0, labels, jnp.int32(seed)))
+
+    t1, tR = chained_train(1), chained_train(1 + CX_CHAIN)
+    t1(_next_seed()), tR(_next_seed())
+    sec = min(_deltas(t1, tR, 1 + CX_CHAIN, CX_TRIALS))
+    yield {
+        "metric": "chexpert_dit_b4_train_images_per_sec",
+        "value": round(CX_BATCH / sec, 3),
+        "unit": "images/sec",
+        "protocol": "1024 tokens, pallas flash fwd+bwd",
+    }
+
 
 if __name__ == "__main__":
     main()

@@ -193,13 +193,143 @@ def flash_attention(
     ``block_q=0`` (default) picks the largest VMEM-safe q-block
     automatically; a positive value caps it.
 
-    Differentiable: the forward runs the Pallas kernel; the backward
-    rematerializes through `jax.nn.dot_product_attention` (the same
-    function mathematically), so ``attn_backend="pallas"`` is safe in
-    training configs — `jax.grad` through a bare `pallas_call` would
-    otherwise fail.
+    Differentiable: the forward runs the Pallas kernel; the backward runs
+    the Pallas flash-backward kernel (`_flash_bwd` — softmax recompute +
+    dq/dk/dv, flash-attention style) wherever one head's [S, S] score
+    matrices fit scoped VMEM, and rematerializes through
+    `jax.nn.dot_product_attention` (the same math) for oversize sequences,
+    so ``attn_backend="pallas"`` is safe in training configs.
     """
     return _flash_attention_impl(q, k, v, block_q)
+
+
+def _bwd_one_head(q, k, v, do, scale):
+    """One head's backward: recompute softmax, return (dq, dk, dv).
+
+    Standard flash backward with the whole sequence resident (S ≤ 1024 —
+    the [S, S] f32 intermediates stay inside scoped VMEM):
+    ``dv = pᵀ·dO``, ``dp = dO·vᵀ``, ``ds = p ∘ (dp − rowsum(p ∘ dp))``,
+    ``dq = scale·ds·k``, ``dk = scale·dsᵀ·q``. The [S, S] operands are cast
+    to the input dtype for the MXU matmuls (same numerics convention as the
+    forward's p·v matmul).
+    """
+    s = jnp.dot(
+        q.astype(jnp.float32) * (scale * _LOG2_E),
+        k.astype(jnp.float32).T,
+        preferred_element_type=jnp.float32,
+    )  # [S, S]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp2(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    dv = jnp.dot(p.astype(do.dtype).T, do, preferred_element_type=jnp.float32)
+    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)  # [S, S]
+    delta = jnp.sum(p * dp, axis=-1, keepdims=True)  # rowsum(dO ∘ O)
+    ds = p * (dp - delta)
+    dsl = ds.astype(q.dtype)
+    dq = jnp.dot(dsl, k, preferred_element_type=jnp.float32) * scale
+    dk = jnp.dot(dsl.T, q, preferred_element_type=jnp.float32) * scale
+    return dq, dk, dv
+
+
+def _bwd_kernel_lanes(
+    q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale: float, d: int
+):
+    # One lane-aligned head group ([S, G·D] block, G·D a multiple of 128);
+    # sub-heads are static D-wide lane slices, same trick as the fused
+    # forward. G is 1 (d=128) or 2 (d=64), so at most two heads' [S, S]
+    # intermediates coexist in scoped VMEM.
+    g = q_ref.shape[-1] // d
+    for j in range(g):
+        sl = slice(j * d, (j + 1) * d)
+        dq, dk, dv = _bwd_one_head(
+            q_ref[0, :, sl], k_ref[0, :, sl], v_ref[0, :, sl], do_ref[0, :, sl],
+            scale,
+        )
+        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+
+
+def _bwd_kernel_bh(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale):
+    dq, dk, dv = _bwd_one_head(q_ref[0], k_ref[0], v_ref[0], do_ref[0], scale)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _bwd_lane_group(s: int, h: int, d: int) -> int | None:
+    """Heads per grid cell for the transpose-free layout, or None.
+
+    Mosaic requires lane (minor-dim) blocks to be multiples of 128, so a
+    cell must cover ``g = 128/d`` whole heads; g must divide H, and the g
+    unrolled sub-heads' [S, S] f32 intermediates (p, dp, ds each — Mosaic
+    keeps unrolled iterations' buffers live, same empirical convention as
+    the fused forward) must fit scoped VMEM. None → use the head-major
+    layout instead.
+    """
+    g = 1 if d % 128 == 0 else 128 // d
+    if h % g != 0 or 3 * g * s * s * 4 > _SCOPED_BUDGET:
+        return None
+    return g
+
+
+def _bwd_supported(s: int) -> bool:
+    # the head-major path needs one head's p/dp/ds [S, S] f32 in scoped VMEM
+    return 3 * s * s * 4 <= _SCOPED_BUDGET
+
+
+def _bwd_cost(b, s, h, d, itemsize):
+    return pl.CostEstimate(
+        flops=10 * b * h * s * s * d,
+        bytes_accessed=7 * b * h * s * d * itemsize,
+        transcendentals=b * h * s * s,
+    )
+
+
+def _flash_bwd(q, k, v, do):
+    """Pallas backward; grid (batch, head-group), one head per MXU pass.
+
+    Where D·g = 128 lane alignment works out (D ∈ {64, 128}) the kernel
+    reads the [B, S, H·D] view directly — no boundary transposes, mirroring
+    the fused-heads forward. Otherwise it falls back to the head-major
+    [B·H, S, D] layout (full-minor-dim blocks are always legal).
+    """
+    b, s, h, d = q.shape
+    scale = 1.0 / (d**0.5)
+    g = _bwd_lane_group(s, h, d)
+    if g is not None:
+        hd = h * d
+        qf, kf, vf, dof = (x.reshape(b, s, hd) for x in (q, k, v, do))
+        spec = pl.BlockSpec(
+            (1, s, g * d), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+        )
+        outs = pl.pallas_call(
+            functools.partial(_bwd_kernel_lanes, scale=scale, d=d),
+            out_shape=[jax.ShapeDtypeStruct((b, s, hd), x.dtype) for x in (q, k, v)],
+            grid=(b, h // g),
+            in_specs=[spec] * 4,
+            out_specs=[spec] * 3,
+            cost_estimate=_bwd_cost(b, s, h, d, q.dtype.itemsize),
+            interpret=jax.default_backend() != "tpu",
+        )(qf, kf, vf, dof)
+        return tuple(o.reshape(b, s, h, d) for o in outs)
+
+    def to_bh(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+
+    spec = pl.BlockSpec((1, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel_bh, scale=scale),
+        out_shape=[jax.ShapeDtypeStruct((b * h, s, d), x.dtype) for x in (q, k, v)],
+        grid=(b * h,),
+        in_specs=[spec] * 4,
+        out_specs=[spec] * 3,
+        cost_estimate=_bwd_cost(b, s, h, d, q.dtype.itemsize),
+        interpret=jax.default_backend() != "tpu",
+    )(to_bh(q), to_bh(k), to_bh(v), to_bh(do))
+    return tuple(
+        o.reshape(b, h, s, d).transpose(0, 2, 1, 3) for o in outs
+    )
 
 
 def _flash_attention_fwd(q, k, v, block_q):
@@ -208,6 +338,9 @@ def _flash_attention_fwd(q, k, v, block_q):
 
 def _flash_attention_bwd(block_q, residuals, g):
     q, k, v = residuals
+    if _bwd_supported(q.shape[1]):
+        return _flash_bwd(q, k, v, g)
+    # oversize sequences: rematerialize through XLA (same math)
     _, vjp = jax.vjp(jax.nn.dot_product_attention, q, k, v)
     return vjp(g)
 

@@ -106,7 +106,7 @@ class ExperimentConfig:
     # the 'data' axis (ZeRO-3); 'replicated' forces full replication
     param_sharding: str = "tp"  # 'tp' | 'fsdp' | 'replicated'
     attn_backend: str = "auto"  # 'auto' | 'xla' | 'pallas' (auto: measured
-    # routing — pallas flash attention for sequences >= 512 tokens)
+    # routing — pallas flash attention for sequences >= 256 tokens)
     # debug/observability (SURVEY §5.2: the reference has no sanitizers; JAX
     # purity + these toggles are the TPU-native equivalent)
     debug_nans: bool = False

@@ -145,22 +145,35 @@ def test_resnet_rejects_unknown_variant():
         net.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False)
 
 
-def test_flash_attention_grad_matches_xla():
-    """attn_backend='pallas' must be trainable: the custom VJP routes the
-    backward through jax.nn.dot_product_attention (same math)."""
+@pytest.mark.parametrize(
+    "shape",
+    [
+        (2, 128, 2, 64),  # lane-grouped backward (g=2, no boundary transposes)
+        (2, 128, 2, 32),  # head-major backward (g=4 doesn't divide H=2)
+        (2, 1024, 6, 64),  # DiT-b4 shape: g=2 over budget -> head-major
+        (1, 2048, 1, 32),  # oversize S: XLA-rematerialized backward fallback
+    ],
+)
+def test_flash_attention_grad_matches_xla(shape):
+    """attn_backend='pallas' must be trainable: the custom VJP runs the
+    pallas backward kernel where one head's score matrices fit scoped VMEM
+    (lane-grouped transpose-free layout where 128/d heads divide H and fit,
+    head-major otherwise) and rematerializes through
+    jax.nn.dot_product_attention (same math) above."""
     import jax
     import jax.numpy as jnp
-    from diffusion_classifier_tpu.ops.flash_attention import flash_attention
+    from diffusion_classifier_tpu.ops import flash_attention as fa
+
+    assert fa._bwd_supported(shape[1]) == (shape[1] <= 1024)
 
     rng = jax.random.PRNGKey(0)
     kq, kk, kv = jax.random.split(rng, 3)
-    shape = (2, 128, 2, 32)
     q = jax.random.normal(kq, shape)
     k = jax.random.normal(kk, shape)
     v = jax.random.normal(kv, shape)
 
     def loss_pallas(q, k, v):
-        return jnp.sum(flash_attention(q, k, v) ** 2)
+        return jnp.sum(fa.flash_attention(q, k, v) ** 2)
 
     def loss_xla(q, k, v):
         return jnp.sum(jax.nn.dot_product_attention(q, k, v) ** 2)
