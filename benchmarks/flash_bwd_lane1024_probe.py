@@ -1,0 +1,118 @@
+"""Probe: lane-grouped flash backward at S=1024 (over the assumed budget).
+
+The production router assumes the g=2 sub-heads' [S, S] f32 intermediates
+are concurrently live under Mosaic's unrolling (the fused forward's measured
+convention), which puts S=1024/d=64 at ~25 MB and routes it to the
+head-major layout. This probe force-compiles the lane-grouped layout at that
+shape to test whether the assumption holds for the BACKWARD's dependency
+structure — if Mosaic frees head j's buffers before head j+1, the
+transpose-free layout should compile and beat the head-major 1.59×.
+
+Run on the real chip:
+    PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/flash_bwd_lane1024_probe.py
+"""
+
+import functools
+import itertools
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+CHAIN = 64
+TRIALS = 7
+
+_seed_counter = itertools.count((int(time.time()) % 1_000_000) * 1_000)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from diffusion_classifier_tpu.ops import flash_attention as fa
+
+    shapes = [
+        ("dit_s1024_h6_d64", 16, 1024, 6, 64),
+        ("dit_s1024_h12_d64", 16, 1024, 12, 64),
+    ]
+
+    def lane_bwd(q, k, v, do):
+        b, s, h, d = q.shape
+        scale = 1.0 / (d**0.5)
+        g = 128 // d
+        hd = h * d
+        qf, kf, vf, dof = (x.reshape(b, s, hd) for x in (q, k, v, do))
+        spec = pl.BlockSpec(
+            (1, s, g * d), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+        )
+        outs = pl.pallas_call(
+            functools.partial(fa._bwd_kernel_lanes, scale=scale, d=d),
+            out_shape=[
+                jax.ShapeDtypeStruct((b, s, hd), x.dtype) for x in (q, k, v)
+            ],
+            grid=(b, h // g),
+            in_specs=[spec] * 4,
+            out_specs=[spec] * 3,
+            cost_estimate=fa._bwd_cost(b, s, h, d, q.dtype.itemsize),
+        )(qf, kf, vf, dof)
+        return tuple(o.reshape(b, s, h, d) for o in outs)
+
+    for name, b, s, h, d in shapes:
+        kq = jax.random.PRNGKey(7)
+        q = jax.random.normal(kq, (b, s, h, d), jnp.bfloat16)
+        k, v, do = q * 0.5, q * 0.25, q * 0.125
+
+        # compile check first — failure here is the expected outcome if the
+        # concurrency assumption holds
+        try:
+            ref = jax.jit(fa._flash_bwd)(q, k, v, do)
+            got = jax.jit(lane_bwd)(q, k, v, do)
+            err = max(
+                float(
+                    jnp.abs(a.astype(jnp.float32) - b_.astype(jnp.float32)).max()
+                )
+                for a, b_ in zip(got, ref)
+            )
+        except Exception as e:
+            print(json.dumps({"shape": name, "compile": False,
+                              "error": str(e)[:200]}), flush=True)
+            continue
+
+        results = {"shape": name, "compile": True, "max_abs_err_vs_prod": err}
+        for label, fn in (("prod", fa._flash_bwd), ("lane", lane_bwd)):
+            def chained(repeats, fn=fn):
+                @jax.jit
+                def run(seed):
+                    def body(carry, key):
+                        qq = jax.random.normal(key, (b, s, h, d), jnp.bfloat16)
+                        dq, dk, dv = fn(qq, qq * 0.5, qq * 0.25, qq * 0.125)
+                        return carry + dq.astype(jnp.float32).sum(), None
+
+                    keys = jax.random.split(
+                        jax.random.fold_in(jax.random.PRNGKey(0), seed), repeats
+                    )
+                    tot, _ = jax.lax.scan(body, jnp.float32(0), keys)
+                    return tot
+
+                return lambda seed: float(run(jnp.int32(seed)))
+
+            f1, fR = chained(1), chained(1 + CHAIN)
+            f1(next(_seed_counter)), fR(next(_seed_counter))
+            deltas = []
+            for _ in range(TRIALS):
+                sd = next(_seed_counter)
+                t0 = time.perf_counter(); f1(sd); t1 = time.perf_counter() - t0
+                sd = next(_seed_counter)
+                t0 = time.perf_counter(); fR(sd); tr = time.perf_counter() - t0
+                deltas.append((tr - t1) / CHAIN)
+            deltas.sort()
+            results[label + "_us"] = round(deltas[len(deltas) // 2] * 1e6, 1)
+        results["lane_vs_prod"] = round(results["prod_us"] / results["lane_us"], 2)
+        print(json.dumps(results), flush=True)
+
+
+if __name__ == "__main__":
+    main()
