@@ -236,8 +236,9 @@ def _bwd_kernel_lanes(
 ):
     # One lane-aligned head group ([S, G·D] block, G·D a multiple of 128);
     # sub-heads are static D-wide lane slices, same trick as the fused
-    # forward. G is 1 (d=128) or 2 (d=64), so at most two heads' [S, S]
-    # intermediates coexist in scoped VMEM.
+    # forward. The loop iterations run sequentially (measured — see
+    # `_bwd_lane_group`), so only one head's [S, S] intermediates occupy
+    # scoped VMEM at a time.
     g = q_ref.shape[-1] // d
     for j in range(g):
         sl = slice(j * d, (j + 1) * d)
@@ -261,14 +262,15 @@ def _bwd_lane_group(s: int, h: int, d: int) -> int | None:
     """Heads per grid cell for the transpose-free layout, or None.
 
     Mosaic requires lane (minor-dim) blocks to be multiples of 128, so a
-    cell must cover ``g = 128/d`` whole heads; g must divide H, and the g
-    unrolled sub-heads' [S, S] f32 intermediates (p, dp, ds each — Mosaic
-    keeps unrolled iterations' buffers live, same empirical convention as
-    the fused forward) must fit scoped VMEM. None → use the head-major
-    layout instead.
+    cell must cover ``g = 128/d`` whole heads; g must divide H. Unlike the
+    fused forward (whose unrolled heads' buffers coexist under software
+    pipelining), the backward's sub-heads are scheduled sequentially —
+    measured: g=2 at S=1024 compiles and runs 1.22-1.27x faster than the
+    head-major layout (`benchmarks/flash_bwd_lane1024_probe.py`) — so the
+    budget counts ONE head's p/dp/ds. None → head-major layout instead.
     """
     g = 1 if d % 128 == 0 else 128 // d
-    if h % g != 0 or 3 * g * s * s * 4 > _SCOPED_BUDGET:
+    if h % g != 0 or 3 * s * s * 4 > _SCOPED_BUDGET:
         return None
     return g
 

@@ -150,7 +150,7 @@ def test_resnet_rejects_unknown_variant():
     [
         (2, 128, 2, 64),  # lane-grouped backward (g=2, no boundary transposes)
         (2, 128, 2, 32),  # head-major backward (g=4 doesn't divide H=2)
-        (2, 1024, 6, 64),  # DiT-b4 shape: g=2 over budget -> head-major
+        (2, 1024, 6, 64),  # DiT-b4 shape: lane-grouped (sequential sub-heads)
         (1, 2048, 1, 32),  # oversize S: XLA-rematerialized backward fallback
     ],
 )
