@@ -82,6 +82,9 @@ def main():
             continue
 
         results = {"shape": name, "compile": True, "max_abs_err_vs_prod": err}
+        # interleaved paired trials (one delta per layout per round) so
+        # one-sided relay drift cannot bias the ratio
+        chains = {}
         for label, fn in (("prod", fa._flash_bwd), ("lane", lane_bwd)):
             def chained(repeats, fn=fn):
                 @jax.jit
@@ -100,16 +103,19 @@ def main():
                 return lambda seed: float(run(jnp.int32(seed)))
 
             f1, fR = chained(1), chained(1 + CHAIN)
-            f1(next(_seed_counter)), fR(next(_seed_counter))
-            deltas = []
-            for _ in range(TRIALS):
+            f1(next(_seed_counter)), fR(next(_seed_counter))  # compile
+            chains[label] = (f1, fR)
+        deltas = {"prod": [], "lane": []}
+        for _ in range(TRIALS):
+            for label, (f1, fR) in chains.items():
                 sd = next(_seed_counter)
                 t0 = time.perf_counter(); f1(sd); t1 = time.perf_counter() - t0
                 sd = next(_seed_counter)
                 t0 = time.perf_counter(); fR(sd); tr = time.perf_counter() - t0
-                deltas.append((tr - t1) / CHAIN)
-            deltas.sort()
-            results[label + "_us"] = round(deltas[len(deltas) // 2] * 1e6, 1)
+                deltas[label].append((tr - t1) / CHAIN)
+        for label, ds in deltas.items():
+            ds.sort()
+            results[label + "_us"] = round(ds[len(ds) // 2] * 1e6, 1)
         results["lane_vs_prod"] = round(results["prod_us"] / results["lane_us"], 2)
         print(json.dumps(results), flush=True)
 

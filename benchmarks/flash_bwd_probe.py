@@ -84,22 +84,29 @@ def main():
         )
 
         results = {"shape": name, "max_abs_grad_err": err, "grad_scale": scale}
+        # interleaved paired trials: one xla delta then one pallas delta per
+        # round, so one-sided relay drift hits both backends equally instead
+        # of biasing whichever ran second
+        chains = {}
         for label, fn in (
             ("xla", jax.nn.dot_product_attention),
             ("pallas", flash_attention),
         ):
             chained = make(fn, (b, s, h, d))
             f1, fR = chained(1), chained(1 + CHAIN)
-            f1(next(_seed_counter)), fR(next(_seed_counter))
-            deltas = []
-            for _ in range(TRIALS):
+            f1(next(_seed_counter)), fR(next(_seed_counter))  # compile
+            chains[label] = (f1, fR)
+        deltas = {"xla": [], "pallas": []}
+        for _ in range(TRIALS):
+            for label, (f1, fR) in chains.items():
                 sd = next(_seed_counter)
                 t0 = time.perf_counter(); f1(sd); t1 = time.perf_counter() - t0
                 sd = next(_seed_counter)
                 t0 = time.perf_counter(); fR(sd); tr = time.perf_counter() - t0
-                deltas.append((tr - t1) / CHAIN)
-            deltas.sort()
-            results[label + "_us"] = round(deltas[len(deltas) // 2] * 1e6, 1)
+                deltas[label].append((tr - t1) / CHAIN)
+        for label, ds in deltas.items():
+            ds.sort()
+            results[label + "_us"] = round(ds[len(ds) // 2] * 1e6, 1)
         results["speedup"] = round(results["xla_us"] / results["pallas_us"], 2)
         print(json.dumps(results), flush=True)
 

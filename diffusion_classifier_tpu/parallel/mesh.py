@@ -43,9 +43,19 @@ def init_distributed() -> None:
     """
     addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if addr is None:
-        # No cluster configured. Deliberately NOT querying
-        # jax.process_count() here: that would initialize the XLA backend,
-        # after which jax.distributed.initialize refuses to run.
+        # No explicit coordinator. Hand off to JAX's own cluster
+        # auto-detection only when the launcher env proves this really is a
+        # multi-task job — an unconditional initialize() would hang waiting
+        # for a coordinator on ordinary single-process runs. Deliberately
+        # NOT querying jax.process_count() here: that would initialize the
+        # XLA backend, after which jax.distributed.initialize refuses to run.
+        world = int(
+            os.environ.get("SLURM_NTASKS")
+            or os.environ.get("OMPI_COMM_WORLD_SIZE")
+            or 1
+        )
+        if world > 1:
+            jax.distributed.initialize()
         return
     n = os.environ.get("JAX_NUM_PROCESSES")
     pid = os.environ.get("JAX_PROCESS_ID")

@@ -93,14 +93,17 @@ def fsdp_spec(spec: P, value, axis_size: int, min_size: int = None) -> P:
 
     ``spec`` is the parameter's TP placement (``P()`` when TP is off); the
     'data' axis goes on the last dimension that is not already sharded and
-    divides evenly. The byte savings are the same for any dim, but the last
-    dim (out-features of matmuls, O of HWIO conv kernels) is the one no
-    model code ever slices — the split-skip resnet formulation statically
-    slices conv kernels along I and the shortcut matmul along its input dim
-    (`models/layers.py::ResnetBlock2D`), and sharding a sliced dim forces
-    SPMD into involuntary full rematerialization of the kernel every step
-    (VERDICT r2 "what's weak" §2). Small params stay as-is (see
-    ``FSDP_MIN_PARAM``).
+    divides evenly. The byte savings are the same for any dim; the last dim
+    (out-features of matmuls, O of HWIO conv kernels) composes cleanly with
+    the Megatron column rules and keeps the gather/scatter on a contiguous
+    minor axis. NOTE this rule alone does NOT make the split-skip resnet's
+    statically sliced kernels safe to shard — measured (8-device dryrun):
+    'data'-sharding those on ANY dim, the last included, still forces SPMD
+    involuntary full rematerialization in the backward, because the two
+    half-grads reach their all-reduce with conflicting shardings. The
+    load-bearing guard for that hazard is the ``_is_split_sliced``
+    exclusion in :func:`shard_params` (VERDICT r2 "what's weak" §2). Small
+    params stay as-is (see ``FSDP_MIN_PARAM``).
     """
     if value.size < (FSDP_MIN_PARAM if min_size is None else min_size):
         return spec

@@ -27,6 +27,16 @@ __all__ = ["save_checkpoint", "load_checkpoint", "latest_sidecar"]
 
 _SIDECAR = "experiment_state.json"
 _STATE = "state"
+# Orbax's own commit marker, written when it finalizes a save. Secondary
+# completeness proof for ``state.new`` dirs written by builds predating the
+# ``.complete`` sentinel — a genuinely torn write has no marker either way.
+_ORBAX_COMMIT = "_CHECKPOINT_METADATA"
+
+
+def _new_is_complete(tmp: str) -> bool:
+    return os.path.exists(tmp + ".complete") or os.path.exists(
+        os.path.join(tmp, _ORBAX_COMMIT)
+    )
 
 
 def _rm(path: str) -> None:
@@ -56,7 +66,7 @@ def _atomic_save(checkpointer: ocp.StandardCheckpointer, directory: str, state):
     tmp, old = final + ".new", final + ".old"
     ok = tmp + ".complete"
     if not os.path.exists(final) and os.path.exists(tmp):
-        if os.path.exists(ok):
+        if _new_is_complete(tmp):
             # Interrupted swap: this .new is the directory's newest complete
             # checkpoint — FINISH the swap rather than deleting it, so a
             # second crash during the upcoming save still leaves it loadable.
@@ -90,7 +100,7 @@ def _resolve_state_dir(checkpoint_path: str) -> str:
     if os.path.exists(final):
         return final
     tmp = final + ".new"
-    if os.path.exists(tmp) and os.path.exists(tmp + ".complete"):
+    if os.path.exists(tmp) and _new_is_complete(tmp):
         return tmp
     old = final + ".old"
     if os.path.exists(old):

@@ -23,6 +23,7 @@ import json
 import os
 import time
 import uuid
+import warnings
 from typing import Any, Mapping, Optional
 
 __all__ = [
@@ -190,7 +191,12 @@ def make_tracker(
                 resume_key=resume_key,
                 comet_module=comet_module,
             )
-        except ImportError:
+        except Exception as e:  # comet_ml missing OR failing at runtime
+            # (no network, bad resume key, …): training must not abort over
+            # telemetry — fall through to the resumable JSONL backend.
+            if not isinstance(e, ImportError):
+                warnings.warn(f"Comet tracker unavailable ({e!r}); "
+                              "falling back to JSONL tracking")
             tracker = None
         if tracker is not None:
             if name and not resume_key:

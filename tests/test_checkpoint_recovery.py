@@ -176,6 +176,21 @@ def test_torn_first_save_not_promoted(tmp_path):
     assert not os.path.exists(torn + ".complete")
 
 
+def test_legacy_presentinel_new_is_promoted(tmp_path):
+    """A complete `state.new` written by a build predating the `.complete`
+    sentinel (crash between its two swap renames) carries Orbax's own
+    `_CHECKPOINT_METADATA` commit marker — it must be recognized as the
+    newest checkpoint, not deleted as a torn write (round-3 review)."""
+    exp = str(tmp_path)
+    save_checkpoint(exp, _state(2.0), epoch=2)
+    ckpt = os.path.join(exp, "checkpoints")
+    final = os.path.join(ckpt, "state")
+    os.rename(final, final + ".new")  # legacy crash layout: NO sentinel
+    _assert_loads(ckpt, 2.0, 3)  # restore path accepts the orbax marker
+    save_checkpoint(exp, _state(9.0), epoch=9)  # next save finishes the swap
+    _assert_loads(ckpt, 9.0, 10)
+
+
 def test_process_slice_requires_both_or_neither():
     """Passing only one of process_index/process_count is a silent-wrong-data
     hazard (the lone index would be overwritten by the jax runtime) — it must

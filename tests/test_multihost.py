@@ -126,3 +126,38 @@ def test_batch_not_divisible_by_processes_rejected():
 
 def test_host_local_batch_size_single_process():
     assert host_local_batch_size(8) == 8
+
+
+def test_init_distributed_slurm_autodetect(monkeypatch):
+    """Without JAX_COORDINATOR_ADDRESS, a multi-task SLURM/OMPI launch must
+    hand off to jax.distributed.initialize()'s cluster auto-detection —
+    NOT silently run as independent single-process jobs (round-3 review
+    finding); plain single-process runs must not touch initialize at all."""
+    import jax
+
+    from diffusion_classifier_tpu.parallel.mesh import init_distributed
+
+    calls = []
+    monkeypatch.setattr(
+        jax.distributed, "initialize", lambda *a, **k: calls.append((a, k))
+    )
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+
+    monkeypatch.delenv("SLURM_NTASKS", raising=False)
+    monkeypatch.delenv("OMPI_COMM_WORLD_SIZE", raising=False)
+    init_distributed()
+    assert calls == []  # single process: no cluster init
+
+    monkeypatch.setenv("SLURM_NTASKS", "1")
+    init_distributed()
+    assert calls == []  # single-task slurm job: still no cluster init
+
+    monkeypatch.setenv("SLURM_NTASKS", "4")
+    init_distributed()
+    assert calls == [((), {})]  # multi-task: auto-detection hand-off
+
+    calls.clear()
+    monkeypatch.delenv("SLURM_NTASKS", raising=False)
+    monkeypatch.setenv("OMPI_COMM_WORLD_SIZE", "2")
+    init_distributed()
+    assert calls == [((), {})]

@@ -211,6 +211,29 @@ def test_make_tracker_falls_back_when_comet_unimportable(tmp_path):
     assert isinstance(tr, JsonlTracker)
 
 
+def test_make_tracker_falls_back_on_comet_runtime_failure(tmp_path):
+    """comet_ml importable but failing at construction (no network, bad
+    resume key): training must not abort over telemetry — JSONL fallback
+    with a warning (round-3 review finding)."""
+    import warnings as _w
+
+    class _ExplodingComet:
+        def Experiment(self, **kw):
+            raise RuntimeError("no network route to comet.ml")
+
+        def ExistingExperiment(self, **kw):
+            raise RuntimeError("invalid resume key")
+
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        tr = make_tracker(
+            True, str(tmp_path), comet_api_key="k",
+            comet_module=_ExplodingComet(),
+        )
+    assert isinstance(tr, JsonlTracker)
+    assert any("falling back to JSONL" in str(w.message) for w in caught)
+
+
 def test_mesh_and_batch_sharding():
     mesh = make_mesh()
     assert mesh.shape["data"] == 8 and mesh.shape["model"] == 1
