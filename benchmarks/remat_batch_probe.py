@@ -1,0 +1,131 @@
+"""Remat batch-ceiling probe (real TPU).
+
+For the DiT-b4 1024-token train step, find the largest batch that fits HBM
+with and without per-block rematerialization (`remat` config knob), and the
+throughput at each mode's ceiling. Run:
+
+    PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/remat_batch_probe.py
+"""
+
+import itertools
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+CHAIN = 2
+TRIALS = 3
+
+_seed = itertools.count((int(time.time()) % 1_000_000) * 1_000)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from diffusion_classifier_tpu.diffusion.schedule import make_schedule_fn
+    from diffusion_classifier_tpu.engine.denoiser import Denoiser
+    from diffusion_classifier_tpu.engine.state import (
+        EmaConfig, init_train_state, make_optimizer,
+    )
+    from diffusion_classifier_tpu.engine.steps import make_loss_fn, make_train_step
+    from diffusion_classifier_tpu.models.dit import DiT, DiTConfig
+    from diffusion_classifier_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache("/tmp/dc_tpu_xla_cache")
+    schedule_fn = make_schedule_fn("shifted_cosine", 64, 256)
+
+    def build(remat):
+        dit = Denoiser(
+            backbone=DiT(
+                DiTConfig(
+                    num_attention_heads=6, attention_head_dim=64,
+                    in_channels=12, out_channels=12, num_layers=12,
+                    sample_size=128, patch_size=4, num_classes=2,
+                    attn_backend="auto", remat=remat,
+                ),
+                dtype=jnp.bfloat16,
+            ),
+            encoder=None,
+        )
+        rng = jax.random.PRNGKey(0)
+        x1 = jax.random.normal(rng, (2, 128, 128, 12))
+        params = dit.init(rng, x1, jnp.zeros((2,)), jnp.zeros((2,), jnp.int32))
+        apply_fn = lambda p, z, lg, lab: dit.apply(p, z, lg, lab)
+        loss_fn = make_loss_fn(apply_fn, schedule_fn, pred_param="v", null_token=2)
+        tx = make_optimizer(1e-4, 10, 1000)
+        state = init_train_state(params, tx)
+        step = make_train_step(loss_fn, tx, EmaConfig())
+        return state, step
+
+    def try_batch(state, step, b):
+        """Returns img/s at batch b, or None on OOM."""
+        rng = jax.random.PRNGKey(1)
+        x = jax.random.normal(rng, (b, 128, 128, 12), jnp.float32)
+        ll = jnp.zeros((b,), jnp.int32)
+
+        def chained(repeats):
+            @jax.jit
+            def run(state, xx, ll, seed):
+                def body(carry, key):
+                    st, acc = carry
+                    st, loss = step(st, xx, ll, key)
+                    return (st, acc + loss), None
+
+                keys = jax.random.split(
+                    jax.random.fold_in(jax.random.PRNGKey(0), seed), repeats
+                )
+                (st, acc), _ = jax.lax.scan(body, (state, jnp.float32(0)), keys)
+                return acc
+
+            return lambda seed: float(run(state, x, ll, jnp.int32(seed)))
+
+        try:
+            f1, fR = chained(1), chained(1 + CHAIN)
+            f1(next(_seed)), fR(next(_seed))
+            deltas = []
+            for _ in range(TRIALS):
+                sd = next(_seed)
+                t0 = time.perf_counter(); f1(sd); a = time.perf_counter() - t0
+                sd = next(_seed)
+                t0 = time.perf_counter(); fR(sd); c = time.perf_counter() - t0
+                deltas.append((c - a) / CHAIN)
+            return b / min(deltas)
+        except Exception as e:
+            msg = str(e)
+            # device OOM (RESOURCE_EXHAUSTED) or the relay's compile-time
+            # variant ("Ran out of memory in memory space hbm" inside an
+            # INTERNAL/HTTP-500 wrapper)
+            if any(
+                s in msg
+                for s in (
+                    "RESOURCE_EXHAUSTED",
+                    "Ran out of memory",
+                    "Out of memory",
+                    "Exceeded hbm capacity",
+                )
+            ):
+                return None
+            raise
+
+    for remat in (False, True):
+        state, step = build(remat)
+        best = None
+        for b in (64, 128, 256, 384, 512, 768):
+            ips = try_batch(state, step, b)
+            line = {"remat": remat, "batch": b,
+                    "images_per_sec": round(ips, 1) if ips else None,
+                    "fits": ips is not None}
+            print(json.dumps(line), flush=True)
+            if ips is None:
+                break
+            best = (b, ips)
+        if best:
+            print(json.dumps({"remat": remat, "max_batch": best[0],
+                              "images_per_sec_at_max": round(best[1], 1)}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -58,6 +58,12 @@ class DiTConfig:
     norm_eps: float = 1e-5
     mlp_ratio: int = 4
     attn_backend: str = "auto"
+    # per-block activation rematerialization (`jax.checkpoint` via nn.remat):
+    # the backward recomputes each block's interior instead of storing it —
+    # peak activation memory drops from O(layers) block interiors to
+    # O(layers) block BOUNDARIES + one interior, buying batch size for
+    # ~one extra forward of FLOPs. No effect on inference programs.
+    remat: bool = False
 
     @property
     def hidden_dim(self) -> int:
@@ -159,15 +165,24 @@ class DiT(nn.Module):
         cond = cond + y_emb
 
         # --- transformer stack ---
+        def block_call(mdl, tokens, cond):
+            return mdl(tokens, cond)
+
+        if cfg.remat:
+            block_call = nn.remat(block_call)
         for i in range(cfg.num_layers):
-            tokens = DiTBlock(
-                cfg.num_attention_heads,
-                cfg.attention_head_dim,
-                cfg.mlp_ratio,
-                self.dtype,
-                cfg.attn_backend,
-                name=f"block_{i}",
-            )(tokens, cond)
+            tokens = block_call(
+                DiTBlock(
+                    cfg.num_attention_heads,
+                    cfg.attention_head_dim,
+                    cfg.mlp_ratio,
+                    self.dtype,
+                    cfg.attn_backend,
+                    name=f"block_{i}",
+                ),
+                tokens,
+                cond,
+            )
 
         # --- AdaLN final layer + unpatchify ---
         mods = nn.Dense(2 * d, dtype=self.dtype, name="final_modulation")(

@@ -44,6 +44,7 @@ def unet_128(config) -> UNetConfig:
         encoder_hid_dim_type="text_proj",
         cross_attention_dim=512,
         attn_backend=config.attn_backend,
+        remat=config.remat,
     )
 
 
@@ -69,6 +70,7 @@ def unet_256(config) -> UNetConfig:
         encoder_hid_dim_type="text_proj",
         cross_attention_dim=512,
         attn_backend=config.attn_backend,
+        remat=config.remat,
     )
 
 
@@ -93,6 +95,7 @@ def chexpert_256_unet_dwt_healthysick(config) -> UNetConfig:
         encoder_hid_dim_type="text_proj",
         cross_attention_dim=512,
         attn_backend=config.attn_backend,
+        remat=config.remat,
     )
 
 
@@ -117,6 +120,7 @@ def ipmsa_5_unet(config) -> UNetConfig:
         encoder_hid_dim_type="text_proj",
         cross_attention_dim=512,
         attn_backend=config.attn_backend,
+        remat=config.remat,
     )
 
 
@@ -141,6 +145,7 @@ def ipmsa_5_dwt_unet(config) -> UNetConfig:
         encoder_hid_dim_type="text_proj",
         cross_attention_dim=512,
         attn_backend=config.attn_backend,
+        remat=config.remat,
     )
 
 
@@ -157,6 +162,7 @@ def chexpert_256_dit_b4(config) -> DiTConfig:
         patch_size=config.patch_size,
         num_classes=config.classes,
         attn_backend=config.attn_backend,
+        remat=config.remat,
     )
 
 

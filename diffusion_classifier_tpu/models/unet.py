@@ -82,6 +82,11 @@ class UNetConfig:
     flip_sin_to_cos: bool = True
     freq_shift: float = 0.0
     attn_backend: str = "auto"
+    # per-block activation rematerialization (`jax.checkpoint` via nn.remat)
+    # over resnet/attention blocks: backward recomputes block interiors
+    # instead of storing them, trading ~one extra forward of FLOPs for peak
+    # activation memory. No effect on inference programs.
+    remat: bool = False
 
     def __post_init__(self):
         n = len(self.block_out_channels)
@@ -169,6 +174,24 @@ class UNetCondition2D(nn.Module):
                 name=name,
             )
 
+        # Block-call wrappers: the remat boundary is one block (resnet /
+        # spatial transformer / self-attn), with static flags closed over so
+        # `jax.checkpoint` sees array-only arguments. Identity when remat is
+        # off — the param tree is identical either way.
+        def call_res(mdl, h, temb, skip):
+            return mdl(h, temb, skip=skip, deterministic=deterministic)
+
+        def call_ctx(mdl, h, context):
+            return mdl(h, context)
+
+        def call_self(mdl, h):
+            return mdl(h)
+
+        if cfg.remat:
+            call_res = nn.remat(call_res)
+            call_ctx = nn.remat(call_ctx)
+            call_self = nn.remat(call_self)
+
         def transformer(level_ch, heads, name):
             return SpatialTransformer(
                 num_heads=heads,
@@ -194,13 +217,13 @@ class UNetCondition2D(nn.Module):
             out_ch = chans[i]
             heads = cfg.heads_for(i)
             for j in range(cfg.layers_for(i)):
-                h = resnet(out_ch, f"down_{i}_res_{j}")(
-                    h, temb, deterministic=deterministic
-                )
+                h = call_res(resnet(out_ch, f"down_{i}_res_{j}"), h, temb, None)
                 if block_type == "CrossAttnDownBlock2D":
-                    h = transformer(out_ch, heads, f"down_{i}_attn_{j}")(h, context)
+                    h = call_ctx(
+                        transformer(out_ch, heads, f"down_{i}_attn_{j}"), h, context
+                    )
                 elif block_type == "AttnDownBlock2D":
-                    h = self_attn(out_ch, heads, f"down_{i}_attn_{j}")(h)
+                    h = call_self(self_attn(out_ch, heads, f"down_{i}_attn_{j}"), h)
                 skips.append(h)
             if i < len(chans) - 1:
                 h = Downsample2D(out_ch, self.dtype, name=f"down_{i}_downsample")(h)
@@ -253,16 +276,16 @@ class UNetCondition2D(nn.Module):
         if cfg.mid_block_type == "UNetMidBlock2DCrossAttn":
             mid_ch = chans[-1]
             heads = cfg.heads_for(len(chans) - 1)
-            h = resnet(mid_ch, "mid_res_0")(h, temb, deterministic=deterministic)
-            h = transformer(mid_ch, heads, "mid_attn_0")(h, context)
-            h = resnet(mid_ch, "mid_res_1")(h, temb, deterministic=deterministic)
+            h = call_res(resnet(mid_ch, "mid_res_0"), h, temb, None)
+            h = call_ctx(transformer(mid_ch, heads, "mid_attn_0"), h, context)
+            h = call_res(resnet(mid_ch, "mid_res_1"), h, temb, None)
         elif cfg.mid_block_type == "UNetMidBlock2D":
             # self-attention mid block (unconditional UNet2DModel parity)
             mid_ch = chans[-1]
             heads = cfg.heads_for(len(chans) - 1)
-            h = resnet(mid_ch, "mid_res_0")(h, temb, deterministic=deterministic)
-            h = self_attn(mid_ch, heads, "mid_attn_0")(h)
-            h = resnet(mid_ch, "mid_res_1")(h, temb, deterministic=deterministic)
+            h = call_res(resnet(mid_ch, "mid_res_0"), h, temb, None)
+            h = call_self(self_attn(mid_ch, heads, "mid_attn_0"), h)
+            h = call_res(resnet(mid_ch, "mid_res_1"), h, temb, None)
         elif cfg.mid_block_type is not None:
             raise ValueError(f"unknown mid block {cfg.mid_block_type}")
 
@@ -276,13 +299,15 @@ class UNetCondition2D(nn.Module):
                 # skip passed separately: the block computes the concat
                 # semantics split-operand-wise without materializing the
                 # [B, H, W, C+Cskip] tensor (ResnetBlock2D docstring)
-                h = resnet(out_ch, f"up_{i}_res_{j}")(
-                    h, temb, skip=skips.pop(), deterministic=deterministic
+                h = call_res(
+                    resnet(out_ch, f"up_{i}_res_{j}"), h, temb, skips.pop()
                 )
                 if block_type == "CrossAttnUpBlock2D":
-                    h = transformer(out_ch, heads, f"up_{i}_attn_{j}")(h, context)
+                    h = call_ctx(
+                        transformer(out_ch, heads, f"up_{i}_attn_{j}"), h, context
+                    )
                 elif block_type == "AttnUpBlock2D":
-                    h = self_attn(out_ch, heads, f"up_{i}_attn_{j}")(h)
+                    h = call_self(self_attn(out_ch, heads, f"up_{i}_attn_{j}"), h)
             if i < len(chans) - 1:
                 h = Upsample2D(out_ch, self.dtype, name=f"up_{i}_upsample")(h)
 

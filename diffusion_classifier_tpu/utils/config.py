@@ -107,6 +107,10 @@ class ExperimentConfig:
     param_sharding: str = "tp"  # 'tp' | 'fsdp' | 'replicated'
     attn_backend: str = "auto"  # 'auto' | 'xla' | 'pallas' (auto: measured
     # routing — pallas flash attention for sequences >= 256 tokens)
+    # per-block activation rematerialization (jax.checkpoint): backward
+    # recomputes block interiors instead of storing them — trades ~one extra
+    # forward of FLOPs for peak activation memory (bigger batches / models)
+    remat: bool = False
     # debug/observability (SURVEY §5.2: the reference has no sanitizers; JAX
     # purity + these toggles are the TPU-native equivalent)
     debug_nans: bool = False
