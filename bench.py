@@ -664,7 +664,8 @@ def _chexpert_lines(measure):
 
     # -- DiT-b4 train step (fwd+bwd+clip+Adam+EMA): the config where BOTH
     #    pallas flash-attention kernels fire — the fused-heads forward and
-    #    the (batch, head)-gridded backward (`ops/flash_attention.py`) --
+    #    the lane-grouped (batch, head-pair)-gridded backward
+    #    (`ops/flash_attention.py`) --
     from diffusion_classifier_tpu.engine.state import (
         EmaConfig,
         init_train_state,

@@ -103,3 +103,62 @@ def test_remat_plumbs_from_experiment_config():
 
     assert chexpert_256_dit_b4(ExperimentConfig(remat=True)).remat is True
     assert chexpert_256_dit_b4(ExperimentConfig()).remat is False
+
+
+def test_remat_train_step_on_mesh_matches_unremat():
+    """remat × GSPMD: the checkpointed backward must compose with dp×tp
+    sharding (the combination large-model training actually uses) and give
+    the same loss as the plain program on the same placed params."""
+    import numpy as np
+
+    from diffusion_classifier_tpu.diffusion.schedule import make_schedule_fn
+    from diffusion_classifier_tpu.engine.denoiser import Denoiser
+    from diffusion_classifier_tpu.engine.state import (
+        EmaConfig, init_train_state, make_optimizer,
+    )
+    from diffusion_classifier_tpu.engine.steps import make_loss_fn, make_train_step
+    from diffusion_classifier_tpu.models.encoders import ClassEmbedder
+    from diffusion_classifier_tpu.parallel.mesh import make_mesh, shard_batch
+    from diffusion_classifier_tpu.parallel.sharding import shard_params
+
+    def build(remat):
+        cfg = UNetConfig(
+            sample_size=8, in_channels=3, out_channels=3,
+            block_out_channels=(16, 32),
+            down_block_types=("DownBlock2D", "CrossAttnDownBlock2D"),
+            up_block_types=("CrossAttnUpBlock2D", "UpBlock2D"),
+            layers_per_block=1, attention_head_dim=2, cross_attention_dim=16,
+            encoder_hid_dim=16, encoder_hid_dim_type="text_proj",
+            norm_num_groups=8, remat=remat,
+        )
+        return Denoiser(backbone=UNetCondition2D(cfg), encoder=ClassEmbedder(4, 16))
+
+    rng = jax.random.PRNGKey(0)
+    x = np.random.default_rng(0).standard_normal((8, 8, 8, 3)).astype(np.float32)
+    lab = np.zeros((8,), np.int32)
+    plain = build(False)
+    params = plain.init(rng, jnp.asarray(x), jnp.zeros((8,)), jnp.asarray(lab))
+    schedule_fn = make_schedule_fn("shifted_cosine", 8, 8)
+    tx = make_optimizer(1e-4, 2, 10)
+
+    losses = {}
+    for remat in (False, True):
+        net = build(remat)
+        loss_fn = make_loss_fn(
+            lambda p, z, lg, l: net.apply(p, z, lg, l),
+            schedule_fn, pred_param="v", null_token=4,
+        )
+        mesh = make_mesh(data=4, model=2)
+        placed = shard_params(mesh, params, "fsdp", fsdp_min_size=1)
+        state = init_train_state(placed, tx)
+        step = make_train_step(loss_fn, tx, EmaConfig(), donate=False)
+        with mesh:
+            dev = shard_batch(mesh, {"images": x, "prompt": lab})
+            _, loss = step(
+                state, dev["images"], dev["prompt"], jax.random.PRNGKey(1)
+            )
+            losses[remat] = float(jax.block_until_ready(loss))
+    assert np.isfinite(losses[True])
+    assert abs(losses[True] - losses[False]) <= 1e-5 * max(
+        1.0, abs(losses[False])
+    )
