@@ -1,10 +1,14 @@
 """Remat batch-ceiling probe (real TPU).
 
-For the DiT-b4 1024-token train step, find the largest batch that fits HBM
-with and without per-block rematerialization (`remat` config knob), and the
+For a production train step, find the largest batch that fits HBM with and
+without per-block rematerialization (`remat` config knob), and the
 throughput at each mode's ceiling. Run:
 
-    PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/remat_batch_probe.py
+    PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/remat_batch_probe.py [unet]
+
+Default model is the DiT-b4 1024-token config; `unet` selects the
+CheXpert-256 DWT-UNet (3-level 256/512/768 cross-attn, 128px/12ch input —
+`/root/reference/experiments/chexpert-unet/train.py:118-138` arch).
 """
 
 import itertools
@@ -35,24 +39,55 @@ def main():
 
     enable_compilation_cache("/tmp/dc_tpu_xla_cache")
     schedule_fn = make_schedule_fn("shifted_cosine", 64, 256)
+    family = sys.argv[1] if len(sys.argv) > 1 else "dit"
 
     def build(remat):
-        dit = Denoiser(
-            backbone=DiT(
-                DiTConfig(
-                    num_attention_heads=6, attention_head_dim=64,
-                    in_channels=12, out_channels=12, num_layers=12,
-                    sample_size=128, patch_size=4, num_classes=2,
-                    attn_backend="auto", remat=remat,
+        if family == "dit":
+            net = Denoiser(
+                backbone=DiT(
+                    DiTConfig(
+                        num_attention_heads=6, attention_head_dim=64,
+                        in_channels=12, out_channels=12, num_layers=12,
+                        sample_size=128, patch_size=4, num_classes=2,
+                        attn_backend="auto", remat=remat,
+                    ),
+                    dtype=jnp.bfloat16,
                 ),
-                dtype=jnp.bfloat16,
-            ),
-            encoder=None,
-        )
+                encoder=None,
+            )
+        else:
+            from diffusion_classifier_tpu.models import (
+                UNetCondition2D, UNetConfig,
+            )
+            from diffusion_classifier_tpu.models.encoders import ClassEmbedder
+
+            net = Denoiser(
+                backbone=UNetCondition2D(
+                    UNetConfig(
+                        sample_size=128, in_channels=12, out_channels=12,
+                        layers_per_block=2,
+                        block_out_channels=(256, 512, 768),
+                        down_block_types=(
+                            "DownBlock2D", "DownBlock2D",
+                            "CrossAttnDownBlock2D",
+                        ),
+                        up_block_types=(
+                            "CrossAttnUpBlock2D", "UpBlock2D", "UpBlock2D",
+                        ),
+                        mid_block_type="UNetMidBlock2DCrossAttn",
+                        encoder_hid_dim=256,
+                        encoder_hid_dim_type="text_proj",
+                        cross_attention_dim=256,
+                        remat=remat,
+                    ),
+                    dtype=jnp.bfloat16,
+                ),
+                encoder=ClassEmbedder(2, 256, dtype=jnp.bfloat16),
+            )
         rng = jax.random.PRNGKey(0)
         x1 = jax.random.normal(rng, (2, 128, 128, 12))
-        params = dit.init(rng, x1, jnp.zeros((2,)), jnp.zeros((2,), jnp.int32))
-        apply_fn = lambda p, z, lg, lab: dit.apply(p, z, lg, lab)
+        params = net.init(rng, x1, jnp.zeros((2,)), jnp.zeros((2,), jnp.int32))
+        apply_fn = lambda p, z, lg, lab: net.apply(p, z, lg, lab)
         loss_fn = make_loss_fn(apply_fn, schedule_fn, pred_param="v", null_token=2)
         tx = make_optimizer(1e-4, 10, 1000)
         state = init_train_state(params, tx)
@@ -109,10 +144,18 @@ def main():
                 return None
             raise
 
-    for remat in (False, True):
+    batches = (64, 128, 256, 384, 512, 768) if family == "dit" else (
+        16, 32, 64, 96, 128, 192, 256
+    )
+    # optional 2nd arg 'on'/'off': probe one mode per process — an OOM'd
+    # attempt can leave the device heap fragmented for later builds
+    modes = (False, True)
+    if len(sys.argv) > 2:
+        modes = (sys.argv[2] == "on",)
+    for remat in modes:
         state, step = build(remat)
         best = None
-        for b in (64, 128, 256, 384, 512, 768):
+        for b in batches:
             ips = try_batch(state, step, b)
             line = {"remat": remat, "batch": b,
                     "images_per_sec": round(ips, 1) if ips else None,
