@@ -1,29 +1,32 @@
 """Probe: lane-grouped flash backward at S=1024 (over the assumed budget).
 
-The production router assumes the g=2 sub-heads' [S, S] f32 intermediates
-are concurrently live under Mosaic's unrolling (the fused forward's measured
-convention), which puts S=1024/d=64 at ~25 MB and routes it to the
-head-major layout. This probe force-compiles the lane-grouped layout at that
-shape to test whether the assumption holds for the BACKWARD's dependency
-structure — if Mosaic frees head j's buffers before head j+1, the
-transpose-free layout should compile and beat the head-major 1.59×.
+Written when the router still assumed the g=2 sub-heads' [S, S] f32
+intermediates were concurrently live under Mosaic's unrolling (the fused
+forward's measured convention), which would put S=1024/d=64 at ~25 MB. The
+probe force-compiled the lane-grouped layout at that shape and found the
+BACKWARD's sub-heads schedule sequentially: it compiles, matches
+bit-exactly, and ran 1.22-1.27× faster than the head-major layout — so the
+lane-grouped layout was PROMOTED to the production route for g ≤ 2
+(commit 6fcb470; `_flash_bwd` now takes this path itself, making the
+"prod" vs "lane" comparison below a self-check rather than a contrast).
 
 Run on the real chip:
     PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/flash_bwd_lane1024_probe.py
 """
 
 import functools
-import itertools
 import json
 import sys
-import time
 
 sys.path.insert(0, ".")
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+
+from _timing import interleaved_deltas, median, seed_counter
 
 CHAIN = 64
 TRIALS = 7
 
-_seed_counter = itertools.count((int(time.time()) % 1_000_000) * 1_000)
+_seed_counter = seed_counter()
 
 
 def main():
@@ -82,8 +85,8 @@ def main():
             continue
 
         results = {"shape": name, "compile": True, "max_abs_err_vs_prod": err}
-        # interleaved paired trials (one delta per layout per round) so
-        # one-sided relay drift cannot bias the ratio
+        # interleaved paired rounds (benchmarks/_timing.py): one delta per
+        # layout per round so one-sided relay drift cannot bias the ratio
         chains = {}
         for label, fn in (("prod", fa._flash_bwd), ("lane", lane_bwd)):
             def chained(repeats, fn=fn):
@@ -105,17 +108,9 @@ def main():
             f1, fR = chained(1), chained(1 + CHAIN)
             f1(next(_seed_counter)), fR(next(_seed_counter))  # compile
             chains[label] = (f1, fR)
-        deltas = {"prod": [], "lane": []}
-        for _ in range(TRIALS):
-            for label, (f1, fR) in chains.items():
-                sd = next(_seed_counter)
-                t0 = time.perf_counter(); f1(sd); t1 = time.perf_counter() - t0
-                sd = next(_seed_counter)
-                t0 = time.perf_counter(); fR(sd); tr = time.perf_counter() - t0
-                deltas[label].append((tr - t1) / CHAIN)
+        deltas = interleaved_deltas(chains, CHAIN, TRIALS, _seed_counter)
         for label, ds in deltas.items():
-            ds.sort()
-            results[label + "_us"] = round(ds[len(ds) // 2] * 1e6, 1)
+            results[label + "_us"] = round(median(ds) * 1e6, 1)
         results["lane_vs_prod"] = round(results["prod_us"] / results["lane_us"], 2)
         print(json.dumps(results), flush=True)
 

@@ -7,17 +7,18 @@ median of TRIALS deltas (same methodology as benchmarks/attention_bench.py).
 """
 
 import functools
-import itertools
 import json
 import sys
-import time
 
 sys.path.insert(0, ".")
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+
+from _timing import interleaved_deltas, median, seed_counter
 
 CHAIN = 64
 TRIALS = 7
 
-_seed_counter = itertools.count((int(time.time()) % 1_000_000) * 1_000)
+_seed_counter = seed_counter()
 
 
 def main():
@@ -84,9 +85,8 @@ def main():
         )
 
         results = {"shape": name, "max_abs_grad_err": err, "grad_scale": scale}
-        # interleaved paired trials: one xla delta then one pallas delta per
-        # round, so one-sided relay drift hits both backends equally instead
-        # of biasing whichever ran second
+        # interleaved paired rounds (benchmarks/_timing.py): one delta per
+        # backend per round, so one-sided relay drift hits both equally
         chains = {}
         for label, fn in (
             ("xla", jax.nn.dot_product_attention),
@@ -96,17 +96,9 @@ def main():
             f1, fR = chained(1), chained(1 + CHAIN)
             f1(next(_seed_counter)), fR(next(_seed_counter))  # compile
             chains[label] = (f1, fR)
-        deltas = {"xla": [], "pallas": []}
-        for _ in range(TRIALS):
-            for label, (f1, fR) in chains.items():
-                sd = next(_seed_counter)
-                t0 = time.perf_counter(); f1(sd); t1 = time.perf_counter() - t0
-                sd = next(_seed_counter)
-                t0 = time.perf_counter(); fR(sd); tr = time.perf_counter() - t0
-                deltas[label].append((tr - t1) / CHAIN)
+        deltas = interleaved_deltas(chains, CHAIN, TRIALS, _seed_counter)
         for label, ds in deltas.items():
-            ds.sort()
-            results[label + "_us"] = round(ds[len(ds) // 2] * 1e6, 1)
+            results[label + "_us"] = round(median(ds) * 1e6, 1)
         results["speedup"] = round(results["xla_us"] / results["pallas_us"], 2)
         print(json.dumps(results), flush=True)
 

@@ -11,17 +11,18 @@ CheXpert-256 DWT-UNet (3-level 256/512/768 cross-attn, 128px/12ch input —
 `/root/reference/experiments/chexpert-unet/train.py:118-138` arch).
 """
 
-import itertools
 import json
 import sys
-import time
 
 sys.path.insert(0, ".")
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
-CHAIN = 2
-TRIALS = 3
+from _timing import interleaved_deltas, median, seed_counter
 
-_seed = itertools.count((int(time.time()) % 1_000_000) * 1_000)
+CHAIN = 4
+TRIALS = 5
+
+_seed = seed_counter()
 
 
 def main():
@@ -119,14 +120,8 @@ def main():
         try:
             f1, fR = chained(1), chained(1 + CHAIN)
             f1(next(_seed)), fR(next(_seed))
-            deltas = []
-            for _ in range(TRIALS):
-                sd = next(_seed)
-                t0 = time.perf_counter(); f1(sd); a = time.perf_counter() - t0
-                sd = next(_seed)
-                t0 = time.perf_counter(); fR(sd); c = time.perf_counter() - t0
-                deltas.append((c - a) / CHAIN)
-            return b / min(deltas)
+            deltas = interleaved_deltas({"t": (f1, fR)}, CHAIN, TRIALS, _seed)
+            return b / median(deltas["t"])
         except Exception as e:
             msg = str(e)
             # device OOM (RESOURCE_EXHAUSTED) or the relay's compile-time

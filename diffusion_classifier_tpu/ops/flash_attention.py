@@ -264,13 +264,16 @@ def _bwd_lane_group(s: int, h: int, d: int) -> int | None:
     Mosaic requires lane (minor-dim) blocks to be multiples of 128, so a
     cell must cover ``g = 128/d`` whole heads; g must divide H. Unlike the
     fused forward (whose unrolled heads' buffers coexist under software
-    pipelining), the backward's sub-heads are scheduled sequentially —
-    measured: g=2 at S=1024 compiles and runs 1.22-1.27x faster than the
-    head-major layout (`benchmarks/flash_bwd_lane1024_probe.py`) — so the
-    budget counts ONE head's p/dp/ds. None → head-major layout instead.
+    pipelining), the backward's sub-heads are scheduled sequentially at
+    g=2 — measured: g=2 at S=1024 compiles and runs 1.22-1.27x faster than
+    the head-major layout (`benchmarks/flash_bwd_lane1024_probe.py`). Only
+    g ≤ 2 is measured; g=4 (d=32) is NOT assumed sequential (if Mosaic kept
+    even two of four sub-heads' [S, S] buffers live it would blow scoped
+    VMEM at S=1024), so d=32 uses the head-major layout. The VMEM budget
+    itself is the caller's gate (`_bwd_supported`). None → head-major.
     """
     g = 1 if d % 128 == 0 else 128 // d
-    if h % g != 0 or 3 * s * s * 4 > _SCOPED_BUDGET:
+    if g > 2 or h % g != 0:
         return None
     return g
 

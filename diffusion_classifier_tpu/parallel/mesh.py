@@ -44,16 +44,20 @@ def init_distributed() -> None:
     addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if addr is None:
         # No explicit coordinator. Hand off to JAX's own cluster
-        # auto-detection only when the launcher env proves this really is a
-        # multi-task job — an unconditional initialize() would hang waiting
-        # for a coordinator on ordinary single-process runs. Deliberately
-        # NOT querying jax.process_count() here: that would initialize the
-        # XLA backend, after which jax.distributed.initialize refuses to run.
-        world = int(
-            os.environ.get("SLURM_NTASKS")
-            or os.environ.get("OMPI_COMM_WORLD_SIZE")
-            or 1
-        )
+        # auto-detection only when the launcher env proves this process IS
+        # one task of a multi-task step — an unconditional initialize()
+        # would hang waiting for peers that never connect. SLURM_NTASKS
+        # alone is NOT proof: a bare `python train.py` inside `salloc -n 4`
+        # inherits it without being srun-launched, so additionally require
+        # SLURM_PROCID (set per-task by srun only). OMPI_COMM_WORLD_SIZE is
+        # set per-rank by mpirun, so it is its own proof. Deliberately NOT
+        # querying jax.process_count() here: that would initialize the XLA
+        # backend, after which jax.distributed.initialize refuses to run.
+        world = 1
+        if "SLURM_PROCID" in os.environ:
+            world = int(os.environ.get("SLURM_NTASKS") or 1)
+        if world == 1:
+            world = int(os.environ.get("OMPI_COMM_WORLD_SIZE") or 1)
         if world > 1:
             jax.distributed.initialize()
         return

@@ -27,16 +27,27 @@ __all__ = ["save_checkpoint", "load_checkpoint", "latest_sidecar"]
 
 _SIDECAR = "experiment_state.json"
 _STATE = "state"
-# Orbax's own commit marker, written when it finalizes a save. Secondary
-# completeness proof for ``state.new`` dirs written by builds predating the
-# ``.complete`` sentinel — a genuinely torn write has no marker either way.
+# Orbax's step-metadata file. NOTE its mere existence is NOT a completeness
+# proof — orbax (0.11) writes it at tmp-directory CREATION with an init
+# timestamp, and only adds ``commit_timestamp_nsecs`` when the save
+# finalizes (verified against the installed
+# `orbax/checkpoint/_src/path/atomicity.py`). So the secondary completeness
+# proof for ``state.new`` dirs written by builds predating the
+# ``.complete`` sentinel is that commit key, not the file.
 _ORBAX_COMMIT = "_CHECKPOINT_METADATA"
 
 
 def _new_is_complete(tmp: str) -> bool:
-    return os.path.exists(tmp + ".complete") or os.path.exists(
-        os.path.join(tmp, _ORBAX_COMMIT)
-    )
+    if os.path.exists(tmp + ".complete"):
+        return True
+    meta = os.path.join(tmp, _ORBAX_COMMIT)
+    if not os.path.exists(meta):
+        return False
+    try:
+        with open(meta) as f:
+            return json.load(f).get("commit_timestamp_nsecs") is not None
+    except (OSError, ValueError):
+        return False  # unreadable/torn metadata: not proof of anything
 
 
 def _rm(path: str) -> None:

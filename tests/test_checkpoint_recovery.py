@@ -191,6 +191,26 @@ def test_legacy_presentinel_new_is_promoted(tmp_path):
     _assert_loads(ckpt, 9.0, 10)
 
 
+def test_init_only_orbax_metadata_is_not_completeness_proof(tmp_path):
+    """Orbax writes _CHECKPOINT_METADATA at tmp-dir CREATION (init
+    timestamp only) and adds commit_timestamp_nsecs at finalize — a torn
+    `.new` can carry the file without the commit key and must NOT be
+    promoted (round-3 review finding)."""
+    import json
+
+    exp = str(tmp_path)
+    ckpt = os.path.join(exp, "checkpoints")
+    torn = os.path.join(ckpt, "state.new")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "_CHECKPOINT_METADATA"), "w") as f:
+        json.dump({"init_timestamp_nsecs": 1}, f)  # no commit key: torn
+    with pytest.raises(Exception):
+        load_checkpoint(ckpt, _abstract())
+    save_checkpoint(exp, _state(4.0), epoch=4)
+    _assert_loads(ckpt, 4.0, 5)
+    assert not os.path.exists(torn)
+
+
 def test_process_slice_requires_both_or_neither():
     """Passing only one of process_index/process_count is a silent-wrong-data
     hazard (the lone index would be overwritten by the jax runtime) — it must

@@ -154,10 +154,18 @@ def test_init_distributed_slurm_autodetect(monkeypatch):
 
     monkeypatch.setenv("SLURM_NTASKS", "4")
     init_distributed()
-    assert calls == [((), {})]  # multi-task: auto-detection hand-off
+    # a bare `python train.py` inside `salloc -n 4` inherits SLURM_NTASKS
+    # but is NOT an srun-launched task (no SLURM_PROCID): must stay
+    # single-process, not hang waiting for peers
+    assert calls == []
+
+    monkeypatch.setenv("SLURM_PROCID", "0")  # srun-launched task
+    init_distributed()
+    assert calls == [((), {})]  # multi-task step: auto-detection hand-off
 
     calls.clear()
     monkeypatch.delenv("SLURM_NTASKS", raising=False)
+    monkeypatch.delenv("SLURM_PROCID", raising=False)
     monkeypatch.setenv("OMPI_COMM_WORLD_SIZE", "2")
     init_distributed()
     assert calls == [((), {})]
