@@ -45,7 +45,7 @@ class Classifier:
     """Supervised classifier engine (reference `Classifier`, `:28-407`)."""
 
     def __init__(self, backbone, config: ExperimentConfig, *, mesh=None):
-        self.config = config
+        self.config = config.validate()
         if config.compilation_cache_dir:
             enable_compilation_cache(config.compilation_cache_dir)
         self.model = BackboneWithHead(backbone, config.classes)
@@ -54,6 +54,33 @@ class Classifier:
         self._opt_state = None
         self._tx = None
         self._rng = jax.random.PRNGKey(config.seed)
+        self._build_eval_fns()
+
+    def _build_eval_fns(self):
+        """Jitted predict/eval-loss — optimizer-free, so the eval-only flow
+        (init_params → load_checkpoint → classify) works without ever
+        building a train step."""
+        model = self.model
+
+        @jax.jit
+        def predict(variables, x):
+            logits = model.apply(variables, x, train=False)
+            # top_k instead of argmax: argmax over these logits trips an XLA
+            # fusion-emitter CHECK (`window.pad_low == 0`) on this TPU
+            # backend; top_k lowers through sort and avoids the bad fusion.
+            _, idx = jax.lax.top_k(logits, 1)
+            return idx[:, 0]
+
+        self._predict = predict
+
+        @jax.jit
+        def eval_loss(variables, x, labels):
+            logits = model.apply(variables, x, train=False)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels
+            ).mean()
+
+        self._eval_loss = eval_loss
 
     @property
     def is_main_process(self) -> bool:
@@ -108,26 +135,6 @@ class Classifier:
             return params, new_stats, opt_state, loss
 
         self._step = step
-
-        @jax.jit
-        def predict(variables, x):
-            logits = model.apply(variables, x, train=False)
-            # top_k instead of argmax: argmax over these logits trips an XLA
-            # fusion-emitter CHECK (`window.pad_low == 0`) on this TPU
-            # backend; top_k lowers through sort and avoids the bad fusion.
-            _, idx = jax.lax.top_k(logits, 1)
-            return idx[:, 0]
-
-        self._predict = predict
-
-        @jax.jit
-        def eval_loss(variables, x, labels):
-            logits = model.apply(variables, x, train=False)
-            return optax.softmax_cross_entropy_with_integer_labels(
-                logits, labels
-            ).mean()
-
-        self._eval_loss = eval_loss
 
     # ------------------------------------------------------------- public API
     def classify(self, x):
@@ -193,7 +200,10 @@ class Classifier:
 
         start_epoch, experiment_key = 0, None
         if cfg.resume:
-            ckpt = os.path.join(cfg.experiment_path, cfg.checkpoint_folder)
+            # resume reads the live 'checkpoints' dir saves write to
+            # (reference classifier `:218` hardcodes it); checkpoint_folder
+            # is the inference-selection knob
+            ckpt = os.path.join(cfg.experiment_path, "checkpoints")
             if os.path.exists(ckpt):
                 start_epoch, _, experiment_key = self.load_checkpoint(ckpt)
             else:
@@ -205,6 +215,9 @@ class Classifier:
             is_main_process=self.is_main_process,
             resume_key=experiment_key,
             name=cfg.comet_experiment_name,
+            comet_api_key=cfg.comet_api_key,
+            comet_project_name=cfg.comet_project_name,
+            comet_workspace=cfg.comet_workspace,
         )
 
         if self.is_main_process:

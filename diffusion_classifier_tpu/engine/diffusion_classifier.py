@@ -39,7 +39,7 @@ from ..diffusion.sampler import make_sampler
 from ..diffusion.schedule import make_schedule_fn
 from ..models.encoders import make_encoder
 from ..ops.wavelet import haar_dwt2
-from ..parallel.mesh import local_rows, make_mesh, replicated, shard_batch
+from ..parallel.mesh import local_rows, make_mesh, shard_batch
 from ..parallel.sharding import restore_placement, shard_params
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from ..utils.config import ExperimentConfig
@@ -256,6 +256,14 @@ class DiffusionClassifier:
         if self._dwt is not None:
             x = self._dwt(x)
         if labels is None:
+            if self.config.fast_classification:
+                # fast mode builds each row's candidate set AROUND its true
+                # label (reference `:667-675` — and the reference crashes on
+                # text=None here); zeros would silently bias every
+                # prediction toward class 0
+                raise ValueError(
+                    "fast_classification requires true labels in classify()"
+                )
             labels = jnp.zeros((x.shape[0],), jnp.int32)
         labels = jnp.asarray(np.asarray(labels, np.int32))
         return self._classify_jit(
@@ -287,7 +295,11 @@ class DiffusionClassifier:
         val_samples, batches = [], []
         for idx, batch in enumerate(val_loader):
             if self.state is None:
+                # standalone evaluate() (no train_loop/inference first):
+                # initialize params AND an eval-only train state so the
+                # ema_params reads below work (EMA starts as a param copy)
                 self.init_params(batch)
+                self._build_train_state(total_steps=1)
             dev = self._prepare_batch(batch)
             if classification:
                 out = self._classify_jit(
@@ -336,7 +348,10 @@ class DiffusionClassifier:
         checkpoint_tracker = {"value": 0.0, "save_flag": False}
         start_epoch, experiment_key = 0, None
         if cfg.resume:
-            ckpt = os.path.join(cfg.experiment_path, cfg.checkpoint_folder)
+            # resume always reads the live 'checkpoints' dir — where saves
+            # land (reference `:398` hardcodes it too); cfg.checkpoint_folder
+            # is the INFERENCE selection knob (`:592,622`), not a save target
+            ckpt = os.path.join(cfg.experiment_path, "checkpoints")
             start_epoch, best, experiment_key = self.load_checkpoint(ckpt)
             checkpoint_tracker["value"] = best or 0.0
 
@@ -414,9 +429,15 @@ class DiffusionClassifier:
                 eval_start = time.time()
                 images_path = os.path.join(cfg.experiment_path, "training_images/")
 
-                val_samples, batches, _ = self.evaluate(
-                    val_dataloader, stop_idx=cfg.evaluation_batches, metrics=None
-                )
+                # the sampling pass only feeds plot_function — skip the
+                # sampling_steps x 2B denoiser forwards when there is no plot
+                val_samples = batches = None
+                if plot_function is not None:
+                    val_samples, batches, _ = self.evaluate(
+                        val_dataloader,
+                        stop_idx=cfg.evaluation_batches,
+                        metrics=None,
+                    )
                 _, _, metrics = self.evaluate(
                     val_dataloader,
                     stop_idx=cfg.evaluation_batches,

@@ -59,9 +59,16 @@ class TrainState:
 
 
 def ema_decay(counter: jax.Array, cfg: EmaConfig) -> jax.Array:
-    """Current decay for call number ``counter`` (0-based, ema_pytorch `get_current_decay`)."""
+    """Current decay for 0-based pre-increment call number ``counter``.
+
+    ema_pytorch's ``update()`` increments ``self.step`` BEFORE
+    ``update_moving_average`` runs, so its ``get_current_decay`` sees the
+    post-increment step: ``epoch = (counter + 1) - update_after_step - 1 =
+    counter - update_after_step`` (round-3 review fix — the earlier ``-1``
+    form lagged ema_pytorch's ramp by one call).
+    """
     epoch = jnp.clip(
-        counter.astype(jnp.float32) - cfg.update_after_step - 1.0, min=0.0
+        counter.astype(jnp.float32) - cfg.update_after_step, min=0.0
     )
     value = 1.0 - (1.0 + epoch / cfg.inv_gamma) ** (-cfg.power)
     return jnp.where(epoch <= 0.0, 0.0, jnp.clip(value, 0.0, cfg.beta))

@@ -21,6 +21,7 @@ import os
 import shutil
 from typing import Any, Optional
 
+import jax
 import orbax.checkpoint as ocp
 
 __all__ = ["save_checkpoint", "load_checkpoint", "latest_sidecar"]
@@ -149,6 +150,30 @@ def save_checkpoint(
     return targets[0]
 
 
+def _fill_none_entries_from_metadata(ckptr, state_dir: str, abstract_state):
+    """Type ``None``-valued top-level template entries from on-disk metadata.
+
+    An eval-only engine carries no optimizer, so its restore template has
+    ``opt_state=None`` — but Orbax requires template and checkpoint
+    structures to match. Such entries are typed as ShapeDtypeStructs read
+    from the checkpoint's own metadata (the caller restores and then
+    ignores them). Functional analog of the reference loading optimizer
+    state only when an optimizer object exists (`:769-805`).
+    """
+    if not isinstance(abstract_state, dict) or not any(
+        v is None for v in abstract_state.values()
+    ):
+        return abstract_state
+    meta = ckptr.metadata(state_dir).item_metadata.tree
+    filled = dict(abstract_state)
+    for key, value in abstract_state.items():
+        if value is None and meta.get(key) is not None:
+            filled[key] = jax.tree.map(
+                lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype), meta[key]
+            )
+    return filled
+
+
 def load_checkpoint(
     checkpoint_path: str,
     abstract_state: Any,
@@ -162,8 +187,12 @@ def load_checkpoint(
     restoring into live module/optimizer objects (`:769-805`).
     """
     ckptr = checkpointer or ocp.StandardCheckpointer()
+    state_dir = _resolve_state_dir(checkpoint_path)
+    abstract_state = _fill_none_entries_from_metadata(
+        ckptr, state_dir, abstract_state
+    )
     try:
-        state = ckptr.restore(_resolve_state_dir(checkpoint_path), abstract_state)
+        state = ckptr.restore(state_dir, abstract_state)
     except Exception as e:
         # Cross-attention over a ONE-token context skips the q/k projections
         # entirely (models/layers.py CrossAttention), so such checkpoints

@@ -82,3 +82,23 @@ def test_classifier_inference_restores(tmp_path):
     assert 0.0 <= metric_output[0]["accuracy"] <= 1.0
     w_restored = np.asarray(jax.tree.leaves(engine2.variables["params"])[0])
     np.testing.assert_array_equal(w_trained, w_restored)
+
+
+def test_classifier_eval_only_restore_classifies(tmp_path):
+    """init_params → load_checkpoint → classify with NO train step built.
+
+    The optimizer-free flow (round-3 review fix): predict/eval_loss are
+    compiled eagerly, and load_checkpoint types the absent opt_state
+    template entry from the checkpoint's own metadata.
+    """
+    cfg, engine, data = _setup(tmp_path, num_epochs=1)
+    engine.train_loop(data.get_train_loader(), data.get_val_loader())
+    batch = next(iter(data.get_val_loader()))
+    want = np.asarray(engine.classify(batch["images"]))
+
+    _, engine2, _ = _setup(tmp_path, num_epochs=1)
+    engine2.init_params(batch)
+    engine2.load_checkpoint(os.path.join(cfg.experiment_path, "checkpoints"))
+    assert engine2._tx is None  # genuinely optimizer-free
+    got = np.asarray(engine2.classify(batch["images"]))
+    np.testing.assert_array_equal(want, got)

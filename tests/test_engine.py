@@ -265,6 +265,11 @@ def test_engine_dit_backbone_fast_classification(tmp_path):
     )
     assert preds.shape == (16,)
     assert ((preds >= 0) & (preds < cfg.classes)).all()
+    # labels are REQUIRED in fast mode: the candidate set is built around
+    # each row's true label; zeros would silently bias predictions
+    # (round-3 review fix — the reference crashes on text=None here)
+    with pytest.raises(ValueError, match="fast_classification requires"):
+        engine.classify(batch["images"])
 
 
 def test_empty_dataloader_clear_error(tmp_path):

@@ -20,10 +20,13 @@ from diffusion_classifier_tpu.diffusion.schedule import make_schedule_fn
 
 
 def test_ema_decay_matches_ema_pytorch_formula():
+    # ema_pytorch increments self.step BEFORE update_moving_average, so for
+    # pre-increment call index c its get_current_decay computes
+    # epoch = (c + 1) - update_after_step - 1 = c - update_after_step
     cfg = EmaConfig(beta=0.999, update_after_step=5, update_every=1)
     for c in [0, 3, 5, 6, 7, 20, 1000, 100000]:
         got = float(ema_decay(jnp.asarray(c), cfg))
-        epoch = max(c - 5 - 1, 0)
+        epoch = max(c - 5, 0)
         want = 0.0 if epoch <= 0 else min(0.999, 1 - (1 + epoch) ** (-2 / 3))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
 
@@ -32,13 +35,14 @@ def test_ema_warmup_copies_then_blends():
     cfg = EmaConfig(beta=0.9, update_after_step=2, update_every=1)
     params = {"w": jnp.array(1.0)}
     ema = {"w": jnp.array(0.0)}
-    # counters 0..3: first three calls are copies (epoch <= 0 → decay 0)
+    # counters 0..2: copies (epoch <= 0 → decay 0), ema_pytorch's
+    # `step <= update_after_step` warmup branch
     for c in range(3):
         ema = ema_update(ema, params, jnp.asarray(c), cfg)
         assert float(ema["w"]) == 1.0
-    # counter 4 → epoch 1 → decay = 1 - 2^(-2/3)
+    # counter 3 → epoch 1 → decay = 1 - 2^(-2/3) (first blended call)
     ema = {"w": jnp.array(0.0)}
-    ema = ema_update(ema, params, jnp.asarray(4), cfg)
+    ema = ema_update(ema, params, jnp.asarray(3), cfg)
     d = 1 - 2 ** (-2 / 3)
     np.testing.assert_allclose(float(ema["w"]), 1 - d, rtol=1e-5)
 
