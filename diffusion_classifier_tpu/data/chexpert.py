@@ -73,9 +73,9 @@ class CheXpertDataset:
         elif split == "valid":
             df = df.tail(int(n * 0.2)).head(int(n * 0.2) // 2)
         elif split == "test":
-            df = df.tail(int(n * 0.2)).tail(
-                int(n * 0.2) - int(n * 0.2) // 2
-            )
+            # tail(int(tail_n * 0.5)) — when the 20% tail has odd length the
+            # reference drops the middle row entirely (`:38-40`)
+            df = df.tail(int(n * 0.2)).tail(int(n * 0.2) // 2)
         else:
             raise ValueError(f"unknown split {split!r}")
         self.paths = df["Path"].tolist()

@@ -33,7 +33,7 @@ from typing import Callable, Optional
 import numpy as np
 
 from ..utils.lz4io import load_npy_lz4
-from .loader import Prefetcher
+from .loader import Prefetcher, _process_slice
 
 __all__ = [
     "MRIImageKeys",
@@ -82,14 +82,22 @@ inverse_trial_mapping = {0: "NE", 1: "ME", 2: "HE"}
 
 
 def _leaf(mapping: dict, key_path) -> object:
-    """Follow ``key_path`` through nested index dicts to a leaf value."""
+    """Follow ``key_path`` through nested index dicts to a leaf value.
+
+    A key genuinely absent from this sample raises ``KeyError`` (tolerated
+    by :meth:`IPMSADataset._resolve_sample` as a missing channel). A
+    MALFORMED template path — empty, or stopping at an inner node — raises
+    ``ValueError`` so it fails loudly at init, mirroring the reference's
+    plain ``Exception``s that its ``except KeyError`` never swallows
+    (`dataset/ipmsa.py:34-43,122-123`).
+    """
     if not key_path:
-        raise KeyError("empty channel key path in item_template")
+        raise ValueError("empty channel key path in item_template")
     node = mapping
     for k in key_path:
         node = node[k]
     if isinstance(node, dict):
-        raise KeyError(
+        raise ValueError(
             f"channel key path {list(key_path)} lands on an inner node"
         )
     return node
@@ -190,16 +198,19 @@ class IPMSADataset:
                 continue
             paths = []
             for key_path in channel_key_paths:
+                # leaf lookup FIRST (reference `:118-123` order): a missing
+                # key skips the channel before the root is ever consulted,
+                # and _leaf's malformed-template ValueErrors escape
+                try:
+                    rel = _leaf(entry, key_path)
+                except KeyError:
+                    continue
                 root = self.rootdir_dict.get(key_path[0])
                 if root is None:
                     raise KeyError(
                         f"item_template root {key_path[0]!r} has no "
                         f"configured directory (have {list(self.rootdir_dict)})"
                     )
-                try:
-                    rel = _leaf(entry, key_path)
-                except KeyError:
-                    continue
                 paths.append(_match_one(os.path.join(root, rel)))
             resolved[item_key] = paths
         return resolved
@@ -516,23 +527,34 @@ class LORISTransforms:
 
 
 class _IPMSABatcher:
-    """Batch per-item transform outputs {'images', 'prompt', ...} dicts."""
+    """Batch per-item transform outputs {'images', 'prompt', ...} dicts.
 
-    def __init__(self, dataset, batch_size, shuffle, seed):
+    ``batch_size`` is GLOBAL (loader.py contract): under multiple processes
+    each host decodes and yields only its contiguous per-rank slice, and
+    ``parallel.mesh.shard_batch`` reassembles the global array.
+    """
+
+    def __init__(
+        self, dataset, batch_size, shuffle, seed,
+        process_index=None, process_count=None,
+    ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self._rng = np.random.default_rng(seed)
+        self._proc = (process_index, process_count)
 
     def __len__(self):
         return len(self.dataset) // self.batch_size
 
     def __iter__(self):
+        rows = _process_slice(self.batch_size, *self._proc)
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self._rng.shuffle(order)
         for i in range(len(self)):
-            idx = order[i * self.batch_size : (i + 1) * self.batch_size]
+            # decode only this process's slice of the global batch
+            idx = order[i * self.batch_size : (i + 1) * self.batch_size][rows]
             items = [self.dataset[int(j)] for j in idx]
             batch = {}
             for key in items[0]:

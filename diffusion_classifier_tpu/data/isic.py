@@ -16,7 +16,7 @@ from typing import Optional
 
 import numpy as np
 
-from .loader import Prefetcher
+from .loader import Prefetcher, _process_slice
 
 __all__ = ["ISICDataset", "ISICDataLoader"]
 
@@ -41,7 +41,9 @@ class ISICDataset:
         elif split == "valid":
             df = df.tail(int(n * 0.2)).head(int(n * 0.2) // 2)
         elif split == "test":
-            df = df.tail(int(n * 0.2)).tail(int(n * 0.2) - int(n * 0.2) // 2)
+            # tail(int(tail_n * 0.5)): odd 20%-tails drop the middle row,
+            # exactly like the reference (`dataset/isic.py:39-40`)
+            df = df.tail(int(n * 0.2)).tail(int(n * 0.2) // 2)
         else:
             raise ValueError(f"unknown split {split!r}")
         self.names = df["image_name"].tolist()
@@ -62,24 +64,34 @@ class ISICDataset:
 
 
 class _ISICBatcher:
-    """Batches with cf_label override + original_labels passthrough."""
+    """Batches with cf_label override + original_labels passthrough.
 
-    def __init__(self, dataset, batch_size, shuffle, seed, cf_label):
+    ``batch_size`` is GLOBAL (loader.py contract): under multiple processes
+    each host decodes and yields only its contiguous per-rank slice.
+    """
+
+    def __init__(
+        self, dataset, batch_size, shuffle, seed, cf_label,
+        process_index=None, process_count=None,
+    ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.cf_label = cf_label
         self._rng = np.random.default_rng(seed)
+        self._proc = (process_index, process_count)
 
     def __len__(self):
         return len(self.dataset) // self.batch_size
 
     def __iter__(self):
+        rows = _process_slice(self.batch_size, *self._proc)
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self._rng.shuffle(order)
         for i in range(len(self)):
-            idx = order[i * self.batch_size : (i + 1) * self.batch_size]
+            # decode only this process's slice of the global batch
+            idx = order[i * self.batch_size : (i + 1) * self.batch_size][rows]
             items = [self.dataset[j] for j in idx]
             images = np.stack([im for im, _ in items]).astype(np.float32)
             labels = np.asarray([lb for _, lb in items], np.int32)

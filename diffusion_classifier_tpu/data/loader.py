@@ -146,6 +146,20 @@ class Prefetcher:
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.depth)
         sentinel = object()
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            # Bounded-queue put that aborts when the consumer is gone:
+            # engines break out of eval loops at stop_idx, abandoning the
+            # generator — a plain q.put would then block this thread forever
+            # and leak its buffered decoded batches, one thread per epoch.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             # A decode/IO failure must surface in the consumer, not silently
@@ -153,18 +167,24 @@ class Prefetcher:
             # re-raise it on the consuming thread.
             try:
                 for batch in self.loader:
-                    q.put(batch)
+                    if not put(batch):
+                        return
             except BaseException as e:  # noqa: BLE001 - relayed to consumer
-                q.put(e)
+                put(e)
             else:
-                q.put(sentinel)
+                put(sentinel)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # unblocks (not joins) the worker: an early-breaking consumer
+            # must not wait out an in-flight item decode
+            stop.set()

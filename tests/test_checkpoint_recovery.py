@@ -127,6 +127,34 @@ def test_prefetcher_clean_epoch():
     assert batches[2]["prompt"].tolist() == [4, 5]
 
 
+def test_prefetcher_early_break_releases_worker():
+    """Abandoning iteration mid-epoch (engines break at stop_idx) must let
+    the worker thread exit instead of blocking forever on the full queue
+    and leaking its buffered decoded batches — one thread per eval epoch."""
+    import threading
+    import time
+
+    started = threading.Event()
+
+    def load_fn(i):
+        started.set()
+        return np.zeros((2, 2, 1), np.float32), i
+
+    loader = MapDataLoader(
+        100, load_fn, batch_size=2, shuffle=False,
+        process_index=0, process_count=1,
+    )
+    before = threading.active_count()
+    it = iter(Prefetcher(loader, depth=1))
+    next(it)
+    assert started.is_set()
+    it.close()  # early break: generator finalized without exhausting
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.02)
+    assert threading.active_count() <= before, "prefetch worker leaked"
+
+
 class _FailingCheckpointer:
     """Checkpointer whose save always dies mid-write (preemption stand-in)."""
 

@@ -185,10 +185,10 @@ def test_padchest_16bit_scaling_and_channel_replication(tmp_path):
 
     root = tmp_path / "padchest"
     root.mkdir()
-    rows = [("im0.png", 0.0), ("im1.png", 1.0), ("im2.png", 0.0)]
+    rows = [("im0.png", 0.0), ("im1.png", 1.0), ("im2.png", -1.0)]
     _write_csv(
-        root / "padchest_metadata.csv",
-        ["ImageID", "Pleural Effusion"],
+        root / "padchest-v1.csv",
+        ["ImageID", "PleuralEffusion"],
         rows,
     )
     _png(str(root / "im0.png"), value=255 * 255, mode="I;16")
@@ -196,14 +196,19 @@ def test_padchest_16bit_scaling_and_channel_replication(tmp_path):
     _png(str(root / "im2.png"), value=255 * 255, mode="I;16")
 
     ds = PadChestDataset(str(root), image_size=8)
-    assert len(ds) == 2  # balanced: 1 zero + 1 one (head-limit)
+    # NO balancing — only the -1 label row drops (reference `:45-59`)
+    assert len(ds) == 2
 
     img, label = ds[0]
     assert img.shape == (8, 8, 3)
-    # 16-bit scaling: 65025 / (255·255) = 1.0 exactly (reference `:84`)
+    # 16-bit scaling 65025/(255·255) = 1.0, then (1.0-0.5)/0.5 = 1.0
+    # (reference `:84,87`)
     np.testing.assert_allclose(img, 1.0)
     # all three channels are replicas (`:90`)
     assert (img[..., 0] == img[..., 1]).all() and (img[..., 0] == img[..., 2]).all()
+    # a zero-valued 16-bit PNG normalizes to -1, not 0 (`:87`)
+    img1, _ = ds[1]
+    np.testing.assert_allclose(img1, -1.0)
 
 
 # ------------------------------------------------------------------------- isic
@@ -237,3 +242,65 @@ def test_isic_cf_label_and_original_labels(tmp_path):
         originals.extend(batch["original_labels"].tolist())
     # true labels pass through untouched (both classes present over the epoch)
     assert sorted(set(originals)) == [0, 1]
+
+
+def test_isic_odd_tail_drops_middle_row(tmp_path):
+    """With int(n*0.2) odd, the middle row of the 20% tail belongs to NO
+    split — reference valid=head(tail//2), test=tail(tail//2)
+    (`/root/reference/dataset/isic.py:34-40`)."""
+    from diffusion_classifier_tpu.data.isic import ISICDataset
+
+    root = tmp_path / "isic"
+    (root / "images").mkdir(parents=True)
+    names = [f"ISIC_{i:07d}" for i in range(15)]  # tail = 3 rows (odd)
+    _write_csv(
+        root / "train_balanced.csv",
+        ["image_name", "target"],
+        [(n, i % 2) for i, n in enumerate(names)],
+    )
+    for n in names:
+        _png(str(root / "images" / f"{n}.jpg"))
+
+    train = ISICDataset(str(root), "train", image_size=8)
+    valid = ISICDataset(str(root), "valid", image_size=8)
+    test = ISICDataset(str(root), "test", image_size=8)
+    assert train.names == names[:12]
+    assert valid.names == [names[12]]
+    assert test.names == [names[14]]  # names[13] dropped, like the reference
+
+
+def test_isic_batcher_yields_per_rank_slice(tmp_path):
+    """batch_size is GLOBAL (loader.py contract): each simulated rank
+    decodes and yields only its contiguous quarter of every batch."""
+    from diffusion_classifier_tpu.data.isic import ISICDataset, _ISICBatcher
+
+    root = tmp_path / "isic"
+    (root / "images").mkdir(parents=True)
+    names = [f"ISIC_{i:07d}" for i in range(10)]
+    _write_csv(
+        root / "train_balanced.csv",
+        ["image_name", "target"],
+        [(n, i % 2) for i, n in enumerate(names)],
+    )
+    for n in names:
+        _png(str(root / "images" / f"{n}.jpg"))
+    ds = ISICDataset(str(root), "train", image_size=8)
+
+    per_rank = [
+        [
+            b["prompt"]
+            for b in _ISICBatcher(
+                ds, 4, True, 7, None, process_index=r, process_count=2
+            )
+        ]
+        for r in range(2)
+    ]
+    full = [
+        b["prompt"]
+        for b in _ISICBatcher(ds, 4, True, 7, None)
+    ]
+    assert all(p.shape == (2,) for ranks in per_rank for p in ranks)
+    for i, batch in enumerate(full):
+        np.testing.assert_array_equal(
+            np.concatenate([per_rank[0][i], per_rank[1][i]]), batch
+        )

@@ -238,3 +238,39 @@ def test_remove_condition_preserves_out_of_subset_entries(fake_index, tmp_path):
         data = pickle.load(f)
     # s1 was never scanned — it must survive into the persisted index
     assert list(data["dataset_dict"].keys()) == ["s1"]
+
+
+def test_malformed_item_template_fails_loudly(fake_index):
+    """A key path stopping at an inner node (or empty) must error at init —
+    the reference raises plain Exceptions its missing-channel `except
+    KeyError` never swallows (`dataset/ipmsa.py:34-43,122-123`); a key
+    genuinely absent from one sample stays tolerated."""
+    with open(fake_index, "rb") as f:
+        index = pickle.load(f)
+
+    # path stops at the FLAIR inner dict: too few keys
+    bad = dict(index, item_template={
+        MRIImageKeys.FLAIR: [["MRI_AND_LABEL", "FLAIR"]],
+    })
+    bad_path = fake_index + ".inner.pkl"
+    with open(bad_path, "wb") as f:
+        pickle.dump(bad, f)
+    with pytest.raises(ValueError, match="inner node"):
+        IPMSADataset(bad_path)
+
+    # empty key path
+    bad = dict(index, item_template={MRIImageKeys.FLAIR: [[]]})
+    with open(bad_path, "wb") as f:
+        pickle.dump(bad, f)
+    with pytest.raises(ValueError, match="empty channel key path"):
+        IPMSADataset(bad_path)
+
+    # a per-sample MISSING key is still tolerated (channel absent)
+    ok = dict(index, item_template={
+        MRIImageKeys.FLAIR: [["MRI_AND_LABEL", "FLAIR", "W096"]],
+        MRIImageKeys.MASK: [["MRI_AND_LABEL", "MASK", "W000"]],
+    })
+    with open(bad_path, "wb") as f:
+        pickle.dump(ok, f)
+    ds = IPMSADataset(bad_path)
+    assert ds.resolved_paths(0)[MRIImageKeys.FLAIR] == []

@@ -57,7 +57,7 @@ def _padchest_dir(tmp_path):
     root.mkdir()
     rows = [("im0.png", 0.0), ("im1.png", 1.0)]
     _write_csv(
-        root / "padchest_metadata.csv", ["ImageID", "Pleural Effusion"], rows
+        root / "padchest-v1.csv", ["ImageID", "PleuralEffusion"], rows
     )
     for name, _ in rows:
         _png(str(root / name), value=1000, mode="I;16")
