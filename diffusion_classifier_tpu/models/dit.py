@@ -30,17 +30,23 @@ from ..ops.attention import attention
 from .layers import TimestepEmbedding, sinusoidal_embedding
 
 
-def get_2d_sincos_pos_embed(dim: int, grid: int) -> np.ndarray:
-    """Fixed 2D sin-cos positional embedding ``[grid*grid, dim]`` (DiT/MAE style)."""
+def get_2d_sincos_pos_embed(
+    dim: int, grid_h: int, grid_w: Optional[int] = None
+) -> np.ndarray:
+    """Fixed 2D sin-cos positional embedding ``[grid_h*grid_w, dim]`` (DiT/MAE style)."""
     assert dim % 4 == 0
+    if grid_w is None:
+        grid_w = grid_h
     quarter = dim // 4
     omega = 1.0 / (10000 ** (np.arange(quarter, dtype=np.float64) / quarter))
-    pos = np.arange(grid, dtype=np.float64)
-    out = np.einsum("p,q->pq", pos, omega)  # [grid, dim/4]
-    emb_1d = np.concatenate([np.sin(out), np.cos(out)], axis=1)  # [grid, dim/2]
-    emb_h = np.repeat(emb_1d[:, None, :], grid, axis=1)  # [grid, grid, dim/2]
-    emb_w = np.repeat(emb_1d[None, :, :], grid, axis=0)
-    return np.concatenate([emb_h, emb_w], axis=-1).reshape(grid * grid, dim)
+
+    def emb_1d(grid):
+        out = np.einsum("p,q->pq", np.arange(grid, dtype=np.float64), omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)  # [g, dim/2]
+
+    emb_h = np.repeat(emb_1d(grid_h)[:, None, :], grid_w, axis=1)
+    emb_w = np.repeat(emb_1d(grid_w)[None, :, :], grid_h, axis=0)
+    return np.concatenate([emb_h, emb_w], axis=-1).reshape(grid_h * grid_w, dim)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -86,6 +92,7 @@ class DiTBlock(nn.Module):
     mlp_ratio: int = 4
     dtype: jnp.dtype = jnp.float32
     attn_backend: str = "auto"
+    norm_eps: float = 1e-5  # torch LayerNorm default (nets/dit.py norm_eps)
 
     @nn.compact
     def __call__(self, x: jax.Array, cond: jax.Array) -> jax.Array:
@@ -98,7 +105,8 @@ class DiTBlock(nn.Module):
         )
 
         h = nn.LayerNorm(
-            use_bias=False, use_scale=False, dtype=jnp.float32, name="norm1"
+            epsilon=self.norm_eps, use_bias=False, use_scale=False,
+            dtype=jnp.float32, name="norm1",
         )(x).astype(self.dtype)
         h = _modulate(h, shift_msa, scale_msa)
         qkv = nn.Dense(3 * dim, dtype=self.dtype, name="qkv")(h)
@@ -112,7 +120,8 @@ class DiTBlock(nn.Module):
         x = x + gate_msa[:, None, :] * o
 
         h = nn.LayerNorm(
-            use_bias=False, use_scale=False, dtype=jnp.float32, name="norm2"
+            epsilon=self.norm_eps, use_bias=False, use_scale=False,
+            dtype=jnp.float32, name="norm2",
         )(x).astype(self.dtype)
         h = _modulate(h, shift_mlp, scale_mlp)
         h = nn.Dense(self.mlp_ratio * dim, dtype=self.dtype, name="mlp_fc1")(h)
@@ -140,7 +149,9 @@ class DiT(nn.Module):
         d = cfg.hidden_dim
         b, h, w, _ = x.shape
         p = cfg.patch_size
-        assert h % p == 0 and w % p == 0, "image size must divide patch size"
+        assert h % p == 0 and w % p == 0, (
+            f"image size ({h}x{w}) must be divisible by patch size {p}"
+        )
         gh, gw = h // p, w // p
 
         # --- patchify + fixed pos embed ---
@@ -149,13 +160,18 @@ class DiT(nn.Module):
             d, (p, p), strides=(p, p), dtype=self.dtype, name="patch_embed"
         )(x).reshape(b, gh * gw, d)
         pos = jnp.asarray(
-            get_2d_sincos_pos_embed(d, gh), dtype=self.dtype
+            get_2d_sincos_pos_embed(d, gh, gw), dtype=self.dtype
         )
         tokens = tokens + pos[None]
 
         # --- combined timestep + label conditioning (computed once) ---
         noise_labels = jnp.broadcast_to(jnp.atleast_1d(noise_labels), (b,))
-        t_emb = sinusoidal_embedding(noise_labels, 256).astype(self.dtype)
+        # freq_shift=1: diffusers CombinedTimestepLabelEmbeddings builds
+        # Timesteps(256, flip_sin_to_cos=True, downscale_freq_shift=1) for
+        # the DiT AdaLN conditioning (vs the UNet time_proj's shift 0)
+        t_emb = sinusoidal_embedding(
+            noise_labels, 256, freq_shift=1.0
+        ).astype(self.dtype)
         cond = TimestepEmbedding(d, self.dtype, name="time_embedding")(t_emb)
         if class_labels is None:
             class_labels = jnp.full((b,), cfg.num_classes, jnp.int32)
@@ -178,6 +194,7 @@ class DiT(nn.Module):
                     cfg.mlp_ratio,
                     self.dtype,
                     cfg.attn_backend,
+                    cfg.norm_eps,
                     name=f"block_{i}",
                 ),
                 tokens,
@@ -190,7 +207,8 @@ class DiT(nn.Module):
         )
         shift, scale = jnp.split(mods, 2, axis=-1)
         tokens = nn.LayerNorm(
-            use_bias=False, use_scale=False, dtype=jnp.float32, name="final_norm"
+            epsilon=cfg.norm_eps, use_bias=False, use_scale=False,
+            dtype=jnp.float32, name="final_norm",
         )(tokens).astype(self.dtype)
         tokens = _modulate(tokens, shift, scale)
         tokens = nn.Dense(

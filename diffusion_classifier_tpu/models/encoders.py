@@ -19,6 +19,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 __all__ = [
@@ -82,7 +83,7 @@ def _default_tokenize(texts, max_length: int, model_path: str):
         truncation=True,
         max_length=max_length,
     )
-    return out["input_ids"]
+    return out["input_ids"], out["attention_mask"]
 
 
 def build_t5_class_table(
@@ -98,8 +99,10 @@ def build_t5_class_table(
 
     ``model`` may be a ready ``FlaxT5EncoderModel`` (tests use a tiny random
     one); otherwise it is loaded from ``model_path`` (a local directory in
-    zero-egress environments). ``tokenize_fn(texts, max_length) -> int ids``
-    overrides the HF tokenizer when its files are unavailable.
+    zero-egress environments). ``tokenize_fn(texts, max_length)`` overrides
+    the HF tokenizer when its files are unavailable; it returns int ids or
+    an ``(ids, attention_mask)`` pair (a bare ids array masks ``ids != 0``,
+    T5's pad id).
     """
     if model is None:
         from transformers import FlaxT5EncoderModel
@@ -107,10 +110,18 @@ def build_t5_class_table(
         model = FlaxT5EncoderModel.from_pretrained(model_path)
     texts = list(class_names) + [null_text]
     if tokenize_fn is not None:
-        ids = tokenize_fn(texts, max_length)
+        out = tokenize_fn(texts, max_length)
     else:
-        ids = _default_tokenize(texts, max_length, model_path)
-    hidden = model(input_ids=ids).last_hidden_state
+        out = _default_tokenize(texts, max_length, model_path)
+    ids, mask = out if isinstance(out, tuple) else (out, out != 0)
+    mask = np.asarray(mask, np.int32)
+    # an all-pad row (empty null_text under a stub tokenizer) must keep one
+    # attended position — the HF tokenizer always emits at least an EOS
+    mask[mask.sum(axis=-1) == 0, 0] = 1
+    # the mask matters: without it, pad tokens contaminate every class
+    # embedding (reference runs `self.encoder(**inputs)` with the
+    # tokenizer's attention_mask, `diffusion/diffusion_classifier.py:94-97`)
+    hidden = model(input_ids=ids, attention_mask=mask).last_hidden_state
     return jnp.asarray(hidden)
 
 

@@ -94,9 +94,16 @@ def group_norm_mxu(
     (profiler trace, batch 320). Here the per-group sums are two small
     matmuls against a block-diagonal group-membership matrix — MXU work with
     fp32 accumulation (``preferred_element_type``) — and the reduction cost
-    disappears into the noise. Squares are formed in the compute dtype; the
-    accumulation is fp32 (flax's own fast-variance path also uses the
-    E[x²]−E[x]² formula).
+    disappears into the noise.
+
+    Precision: accumulation is always fp32, and fp32 inputs square exactly.
+    For bf16 inputs the squares are DELIBERATELY formed in bf16 (~2⁻⁸
+    relative rounding per element) before the exact fp32 accumulation —
+    upcasting first would push the multiply off the fast path. This is
+    bf16-compute rounding of the same order the activations already carry,
+    NOT flax semantics (flax ``_compute_stats`` promotes to fp32 before
+    squaring); parity vs flax is tested to 5e-2 in bf16
+    (`tests/test_groupnorm.py`).
     """
     g = num_groups
     c = x.shape[-1]
@@ -366,7 +373,8 @@ class BasicTransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, context: Optional[jax.Array]) -> jax.Array:
         dim = x.shape[-1]
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        # epsilon 1e-5: diffusers BasicTransformerBlock norm_eps default
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
         x = x + MultiHeadAttention(
             self.num_heads, self.head_dim, self.dtype, self.attn_backend, name="attn1"
         )(h.astype(self.dtype))
@@ -385,9 +393,9 @@ class BasicTransformerBlock(nn.Module):
                 # is skipped (and its params never created).
                 x = x + attn2(x, context)
             else:
-                h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
+                h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
                 x = x + attn2(h.astype(self.dtype), context)
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm3")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x)
         x = x + GEGLUFeedForward(dim, dtype=self.dtype, name="ff")(
             h.astype(self.dtype)
         )

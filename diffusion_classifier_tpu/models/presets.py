@@ -22,10 +22,29 @@ def _io(config):
     return ch, size
 
 
+def _cond_unet(config, **arch) -> UNetConfig:
+    """Shared cross-attention conditioning stack for every UNet preset.
+
+    Every reference UNet fragment conditions the same way (text_proj with
+    512-dim context, cross-attn mid block); presets supply only their
+    architecture literals.
+    """
+    return UNetConfig(
+        mid_block_type="UNetMidBlock2DCrossAttn",
+        encoder_hid_dim=512,
+        encoder_hid_dim_type="text_proj",
+        cross_attention_dim=512,
+        attn_backend=config.attn_backend,
+        remat=config.remat,
+        **arch,
+    )
+
+
 def unet_128(config) -> UNetConfig:
     """`models/unet-128.py`: 5-level (128,128,256,512,1024), cross-attn 512."""
     ch, size = _io(config)
-    return UNetConfig(
+    return _cond_unet(
+        config,
         sample_size=size,
         in_channels=ch,
         out_channels=ch,
@@ -39,19 +58,14 @@ def unet_128(config) -> UNetConfig:
             "UpBlock2D", "CrossAttnUpBlock2D", "UpBlock2D",
             "UpBlock2D", "UpBlock2D",
         ),
-        mid_block_type="UNetMidBlock2DCrossAttn",
-        encoder_hid_dim=512,
-        encoder_hid_dim_type="text_proj",
-        cross_attention_dim=512,
-        attn_backend=config.attn_backend,
-        remat=config.remat,
     )
 
 
 def unet_256(config) -> UNetConfig:
     """`models/unet-256.py`: 6-level (128,128,256,256,512,1024)."""
     ch, size = _io(config)
-    return UNetConfig(
+    return _cond_unet(
+        config,
         sample_size=size,
         in_channels=ch,
         out_channels=ch,
@@ -65,18 +79,13 @@ def unet_256(config) -> UNetConfig:
             "UpBlock2D", "CrossAttnUpBlock2D", "UpBlock2D",
             "UpBlock2D", "UpBlock2D", "UpBlock2D",
         ),
-        mid_block_type="UNetMidBlock2DCrossAttn",
-        encoder_hid_dim=512,
-        encoder_hid_dim_type="text_proj",
-        cross_attention_dim=512,
-        attn_backend=config.attn_backend,
-        remat=config.remat,
     )
 
 
 def chexpert_256_unet_dwt_healthysick(config) -> UNetConfig:
     """`models/chexpert-256-unet-dwt-healthysick.py`: fixed 128px/12ch DWT arch."""
-    return UNetConfig(
+    return _cond_unet(
+        config,
         sample_size=128,
         in_channels=12,
         out_channels=12,
@@ -90,18 +99,13 @@ def chexpert_256_unet_dwt_healthysick(config) -> UNetConfig:
             "UpBlock2D", "CrossAttnUpBlock2D", "UpBlock2D",
             "UpBlock2D", "UpBlock2D",
         ),
-        mid_block_type="UNetMidBlock2DCrossAttn",
-        encoder_hid_dim=512,
-        encoder_hid_dim_type="text_proj",
-        cross_attention_dim=512,
-        attn_backend=config.attn_backend,
-        remat=config.remat,
     )
 
 
 def ipmsa_5_unet(config) -> UNetConfig:
     """`models/ipmsa-5-unet.py`: 256px/10ch 6-level arch."""
-    return UNetConfig(
+    return _cond_unet(
+        config,
         sample_size=256,
         in_channels=10,
         out_channels=10,
@@ -115,18 +119,13 @@ def ipmsa_5_unet(config) -> UNetConfig:
             "CrossAttnUpBlock2D", "CrossAttnUpBlock2D", "UpBlock2D",
             "UpBlock2D", "UpBlock2D", "UpBlock2D",
         ),
-        mid_block_type="UNetMidBlock2DCrossAttn",
-        encoder_hid_dim=512,
-        encoder_hid_dim_type="text_proj",
-        cross_attention_dim=512,
-        attn_backend=config.attn_backend,
-        remat=config.remat,
     )
 
 
 def ipmsa_5_dwt_unet(config) -> UNetConfig:
     """`models/ipmsa-5-dwt-unet.py`: 128px/40ch DWT arch."""
-    return UNetConfig(
+    return _cond_unet(
+        config,
         sample_size=128,
         in_channels=40,
         out_channels=40,
@@ -140,12 +139,6 @@ def ipmsa_5_dwt_unet(config) -> UNetConfig:
             "UpBlock2D", "CrossAttnUpBlock2D", "UpBlock2D",
             "UpBlock2D", "UpBlock2D",
         ),
-        mid_block_type="UNetMidBlock2DCrossAttn",
-        encoder_hid_dim=512,
-        encoder_hid_dim_type="text_proj",
-        cross_attention_dim=512,
-        attn_backend=config.attn_backend,
-        remat=config.remat,
     )
 
 
@@ -186,9 +179,9 @@ def build_preset(name: str, config):
     dtype = jnp.bfloat16 if config.mixed_precision == "bf16" else jnp.float32
     if name in UNET_PRESETS:
         cfg = UNET_PRESETS[name](config)
-        net = UNetCondition2D(cfg, dtype=dtype)
-        net.encoder_hid_dim = cfg.encoder_hid_dim
-        return net
+        # the engine reads encoder_hid_dim via backbone.config (the
+        # UNetConfig carries it); no post-construction Module mutation
+        return UNetCondition2D(cfg, dtype=dtype)
     if name in DIT_PRESETS:
         return DiT(DIT_PRESETS[name](config), dtype=dtype)
     raise ValueError(
