@@ -51,6 +51,7 @@ def build_backbone(config: ExperimentConfig):
             encoder_hid_dim_type="text_proj",
             cross_attention_dim=128,
             attn_backend=config.attn_backend,
+            remat=config.remat,
         ),
         dtype=dtype,
     )

@@ -40,6 +40,7 @@ def build_backbone(config: ExperimentConfig):
             patch_size=config.patch_size,
             num_classes=config.classes,
             attn_backend=config.attn_backend,
+            remat=config.remat,
         ),
         dtype=dtype,
     )

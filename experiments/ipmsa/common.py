@@ -56,6 +56,7 @@ def build_backbone(config: ExperimentConfig):
             encoder_hid_dim_type="text_proj",
             cross_attention_dim=256,
             attn_backend=config.attn_backend,
+            remat=config.remat,
         ),
         dtype=dtype,
     )

@@ -98,6 +98,23 @@ def test_family_wiring_constructs(experiment):
     assert engine is not None
     if hasattr(common, "build_backbone"):
         assert common.build_backbone(cfg) is not None
+        if experiment != "ipmsa-classifier":
+            # per-model knobs must be PLUMBED, not silently dropped — a
+            # `remat: true` config that builds a non-remat model trains with
+            # the wrong memory ceiling and no error (round-3 regression)
+            remat_backbone = common.build_backbone(
+                _tiny_cfg(
+                    classes=10 if experiment == "cifar10" else 2,
+                    patch_size=2,
+                    variant="resnet18",
+                    encoder_type="DiT" if experiment.endswith("dit") else "nn",
+                    remat=True,
+                )
+            )
+            assert remat_backbone.config.remat is True, (
+                f"{experiment}/common.py drops the remat config knob"
+            )
+            assert remat_backbone.config.attn_backend == "auto"
 
 
 @pytest.mark.parametrize(
