@@ -564,6 +564,52 @@ def _chexpert_lines(measure):
         "unit": "images/sec",
         "protocol": f"binary, {EVALS} evals, 256px DWT->128px/12ch",
     }
+
+    # roofline for the DWT-UNet line (same method as the headline's: cost-
+    # analyze the fully-unrolled variant since XLA counts a scan body once;
+    # time the production class-chunked program)
+    unet_flat = make_classifier(
+        apply_fn,
+        schedule_fn,
+        pred_param="v",
+        num_classes=2,
+        n_stages=1,
+        evaluation_per_stage=(EVALS,),
+        n_keep_per_stage=(1,),
+        eval_group=EVALS,
+        class_chunk=0,
+        encode_fn=encode_fn,
+        tail_fn=tail_fn,
+    )
+    try:
+        cost = (
+            jax.jit(lambda p, xx, ll, key: unet_flat(p, dwt(xx), ll, key))
+            .lower(params, x_raw, labels, jax.random.PRNGKey(0))
+            .compile()
+            .cost_analysis()
+        )
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        bytes_acc = float(cost.get("bytes accessed", 0.0))
+        if flops > 0 and bytes_acc > 0 and sec > 0:
+            achieved = flops / sec
+            yield {
+                "metric": "chexpert_unet_dwt_achieved_tflops",
+                "value": round(achieved / 1e12, 2),
+                "unit": "TFLOP/s",
+                "mfu_pct": round(100 * achieved / PEAK_FLOPS, 1),
+                "arithmetic_intensity_flop_per_byte": round(
+                    flops / bytes_acc, 1
+                ),
+                "ridge_flop_per_byte": round(PEAK_FLOPS / PEAK_HBM, 1),
+            }
+    except Exception as e:  # cost analysis is best-effort on the relay
+        yield {
+            "metric": "chexpert_unet_dwt_achieved_tflops",
+            "value": None,
+            "error": str(e)[:120],
+        }
     lat = measure(
         cx_classify(1), pp=params, xx=x_raw[:1], ll=labels[:1],
         chain=8, trials=CX_TRIALS,
