@@ -125,6 +125,47 @@ def test_dit_forward_shapes_and_conditioning():
     assert float(jnp.abs(out - out2).max()) > 1e-6
 
 
+def test_dit_rectangular_input():
+    """Non-square images patchify onto a grid_h x grid_w sincos embedding.
+
+    The params are shape-agnostic (conv patchify + shared blocks), so the
+    SAME init works at any divisible resolution; the pos table must follow
+    the actual grid, with the square case unchanged.
+    """
+    from diffusion_classifier_tpu.models.dit import (
+        DiT,
+        DiTConfig,
+        get_2d_sincos_pos_embed,
+    )
+
+    # rectangular table: row-major [h, w] layout, square case is the
+    # h == w slice of the same construction
+    sq = get_2d_sincos_pos_embed(16, 4)
+    rect = get_2d_sincos_pos_embed(16, 2, 4)
+    assert sq.shape == (16, 16) and rect.shape == (8, 16)
+    np.testing.assert_array_equal(rect[:4], sq[:4])  # first row of patches
+
+    cfg = DiTConfig(
+        num_attention_heads=2,
+        attention_head_dim=8,
+        in_channels=3,
+        num_layers=2,
+        sample_size=8,
+        patch_size=2,
+        num_classes=4,
+    )
+    net = DiT(cfg)
+    rng = jax.random.PRNGKey(0)
+    params = net.init(rng, jnp.zeros((1, 8, 8, 3)), jnp.zeros(1), None)
+    x = jax.random.normal(rng, (2, 8, 16, 3))  # H=8, W=16
+    out = net.apply(params, x, jnp.zeros(2), jnp.array([0, 1]))
+    assert out.shape == x.shape
+    assert bool(jnp.isfinite(out).all())
+
+    with pytest.raises(AssertionError, match="divisible by patch size"):
+        net.apply(params, jnp.zeros((1, 8, 9, 3)), jnp.zeros(1), None)
+
+
 def test_resnet_feature_shapes():
     from diffusion_classifier_tpu.models.resnet import ResNet2D
 
