@@ -114,6 +114,38 @@ def _median(xs):
     return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
 
 
+def _roofline(metric, fn, args, sec):
+    """One MFU/roofline JSON dict: XLA cost analysis of ``fn(*args)`` over a
+    measured per-call time. ``fn`` must be the fully-unrolled program variant
+    (XLA counts a lax.scan body ONCE, not times its trip count — analyzing
+    the production scan would undercount); ``sec`` is the PRODUCTION
+    program's measured time. Best-effort on the relay: any failure is
+    reported in-line rather than raised."""
+    import jax
+
+    try:
+        cost = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        bytes_acc = float(cost.get("bytes accessed", 0.0))
+        if flops > 0 and bytes_acc > 0 and sec > 0:
+            achieved = flops / sec
+            return {
+                "metric": metric,
+                "value": round(achieved / 1e12, 2),
+                "unit": "TFLOP/s",
+                "mfu_pct": round(100 * achieved / PEAK_FLOPS, 1),
+                "arithmetic_intensity_flop_per_byte": round(
+                    flops / bytes_acc, 1
+                ),
+                "ridge_flop_per_byte": round(PEAK_FLOPS / PEAK_HBM, 1),
+            }
+        return {"metric": metric, "value": None, "error": "zero cost analysis"}
+    except Exception as e:  # cost analysis is best-effort on the relay
+        return {"metric": metric, "value": None, "error": str(e)[:120]}
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -413,38 +445,19 @@ def main():
         encode_fn=encode_fn,
         tail_fn=tail_fn,
     )
-    try:
-        cost = (
-            jax.jit(classify_flat)
-            .lower(params, x, labels, jax.random.PRNGKey(0))
-            .compile()
-            .cost_analysis()
-        )
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops = float(cost.get("flops", 0.0))
-        bytes_acc = float(cost.get("bytes accessed", 0.0))
-        if flops > 0 and bytes_acc > 0 and fused_med > 0:
-            achieved = flops / fused_med
-            intensity = flops / bytes_acc  # FLOP per HBM byte (unrolled
-            # variant's byte count — the production scan streams fewer
-            # distinct bytes, so this is a lower bound on locality)
-            print(
-                json.dumps(
-                    {
-                        "metric": "classify_achieved_tflops",
-                        "value": round(achieved / 1e12, 2),
-                        "unit": "TFLOP/s",
-                        "mfu_pct": round(100 * achieved / PEAK_FLOPS, 1),
-                        "arithmetic_intensity_flop_per_byte": round(intensity, 1),
-                        "ridge_flop_per_byte": round(PEAK_FLOPS / PEAK_HBM, 1),
-                    }
-                ),
-                flush=True,
+    # intensity note: the unrolled variant's byte count — the production
+    # scan streams fewer distinct bytes, so this is a lower bound on locality
+    print(
+        json.dumps(
+            _roofline(
+                "classify_achieved_tflops",
+                classify_flat,
+                (params, x, labels, jax.random.PRNGKey(0)),
+                fused_med,
             )
-    except Exception as e:  # cost analysis is best-effort on the relay
-        print(json.dumps({"metric": "classify_achieved_tflops",
-                          "value": None, "error": str(e)[:120]}), flush=True)
+        ),
+        flush=True,
+    )
 
     # ---- CheXpert-256 DWT-UNet + DiT-b4 lines (BASELINE.json config #2/#3) --
     for line in _chexpert_lines(measure):
@@ -581,35 +594,12 @@ def _chexpert_lines(measure):
         encode_fn=encode_fn,
         tail_fn=tail_fn,
     )
-    try:
-        cost = (
-            jax.jit(lambda p, xx, ll, key: unet_flat(p, dwt(xx), ll, key))
-            .lower(params, x_raw, labels, jax.random.PRNGKey(0))
-            .compile()
-            .cost_analysis()
-        )
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops = float(cost.get("flops", 0.0))
-        bytes_acc = float(cost.get("bytes accessed", 0.0))
-        if flops > 0 and bytes_acc > 0 and sec > 0:
-            achieved = flops / sec
-            yield {
-                "metric": "chexpert_unet_dwt_achieved_tflops",
-                "value": round(achieved / 1e12, 2),
-                "unit": "TFLOP/s",
-                "mfu_pct": round(100 * achieved / PEAK_FLOPS, 1),
-                "arithmetic_intensity_flop_per_byte": round(
-                    flops / bytes_acc, 1
-                ),
-                "ridge_flop_per_byte": round(PEAK_FLOPS / PEAK_HBM, 1),
-            }
-    except Exception as e:  # cost analysis is best-effort on the relay
-        yield {
-            "metric": "chexpert_unet_dwt_achieved_tflops",
-            "value": None,
-            "error": str(e)[:120],
-        }
+    yield _roofline(
+        "chexpert_unet_dwt_achieved_tflops",
+        lambda p, xx, ll, key: unet_flat(p, dwt(xx), ll, key),
+        (params, x_raw, labels, jax.random.PRNGKey(0)),
+        sec,
+    )
     lat = measure(
         cx_classify(1), pp=params, xx=x_raw[:1], ll=labels[:1],
         chain=8, trials=CX_TRIALS,
@@ -678,35 +668,12 @@ def _chexpert_lines(measure):
         eval_group=EVALS,
         class_chunk=0,
     )
-    try:
-        cost = (
-            jax.jit(lambda p, xx, ll, key: dit_flat(p, dwt(xx), ll, key))
-            .lower(dit_params, x_raw, labels, jax.random.PRNGKey(0))
-            .compile()
-            .cost_analysis()
-        )
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops = float(cost.get("flops", 0.0))
-        bytes_acc = float(cost.get("bytes accessed", 0.0))
-        if flops > 0 and bytes_acc > 0 and sec > 0:
-            achieved = flops / sec
-            yield {
-                "metric": "chexpert_dit_b4_achieved_tflops",
-                "value": round(achieved / 1e12, 2),
-                "unit": "TFLOP/s",
-                "mfu_pct": round(100 * achieved / PEAK_FLOPS, 1),
-                "arithmetic_intensity_flop_per_byte": round(
-                    flops / bytes_acc, 1
-                ),
-                "ridge_flop_per_byte": round(PEAK_FLOPS / PEAK_HBM, 1),
-            }
-    except Exception as e:  # cost analysis is best-effort on the relay
-        yield {
-            "metric": "chexpert_dit_b4_achieved_tflops",
-            "value": None,
-            "error": str(e)[:120],
-        }
+    yield _roofline(
+        "chexpert_dit_b4_achieved_tflops",
+        lambda p, xx, ll, key: dit_flat(p, dwt(xx), ll, key),
+        (dit_params, x_raw, labels, jax.random.PRNGKey(0)),
+        sec,
+    )
 
     # -- DiT-b4 train step (fwd+bwd+clip+Adam+EMA): the config where BOTH
     #    pallas flash-attention kernels fire — the fused-heads forward and

@@ -4,12 +4,15 @@ Shapes are the flagship UNet's self-attention sites (megabatch 320):
 L2 8×8 tokens @ 8 heads × 32, L3/mid 4×4 tokens @ 8 heads × 64 — plus the
 long-sequence DiT shapes where flash tiling matters.
 
-Methodology note (round 3): the round-2 version of this bench used CHAIN=16
-with min-of-3 deltas; for sub-ms kernels that statistic is dominated by the
-relay's ms-scale latency jitter and produced a fake 2.13× pallas win at the
-1024-token shape (a slow 1-chain draw deflates the delta). This version uses
-CHAIN=128 with the xla/pallas pair interleaved per trial and reports the
-MEDIAN of 7 paired deltas — the honest gap at 1024 tokens is ~1.1–1.25×.
+Methodology notes (round 3): the round-2 version used CHAIN=16 with
+min-of-3 deltas; for sub-ms kernels that statistic is dominated by the
+relay's ms-scale latency jitter and produced a fake 2.13× win at the
+1024-token shape. This version uses CHAIN=128 with the xla/pallas pair
+interleaved per trial and the MEDIAN of 7 paired deltas. A later round-3
+review also replaced the in-loop full-tensor normal() draws (whose shared
+cost diluted every ratio toward 1 — the old head-major gap read ~1.1–1.25×
+at 1024 tokens under that dilution) with a scalar perturbation of
+pre-materialized operands, so the reported ratios are now the kernels'.
 """
 
 import json
@@ -42,14 +45,25 @@ def main():
             "xla": lambda q, k, v: jax.nn.dot_product_attention(q, k, v),
             "pallas": lambda q, k, v: flash_attention(q, k, v),
         }
+        # Base tensors are ARGUMENTS of the jitted chain (closing over them
+        # would inline HLO constants past the relay's request size limit);
+        # per-iteration variation is a scalar RNG factor — a fused multiply
+        # per operand (~μs at these shapes) instead of a full Box-Muller
+        # tensor draw, which at (16,1024,12,64) cost ~as much as the kernel
+        # under test and diluted every ratio toward 1 (round-3 review).
+        kq, kk, kv = jax.random.split(jax.random.PRNGKey(7), 3)
+        q0 = jax.random.normal(kq, (b, s, h, d), jnp.bfloat16)
+        k0 = jax.random.normal(kk, (b, s, h, d), jnp.bfloat16)
+        v0 = jax.random.normal(kv, (b, s, h, d), jnp.bfloat16)
+
         progs = {}
         for label, fn in impls.items():
             def chained(repeats, fn=fn):
                 @jax.jit
-                def run(seed):
+                def run(q0, k0, v0, seed):
                     def body(c, key):
-                        q = jax.random.normal(key, (b, s, h, d), jnp.bfloat16)
-                        out = fn(q, q * 0.5, q * 0.25)
+                        f = 1.0 + 0.01 * jax.random.normal(key, (), jnp.bfloat16)
+                        out = fn(q0 * f, k0 * f, v0 * f)
                         return c + out.astype(jnp.float32).sum(), None
 
                     keys = jax.random.split(
@@ -59,7 +73,7 @@ def main():
                     total, _ = jax.lax.scan(body, jnp.float32(0), keys)
                     return total
 
-                return lambda seed: float(run(jnp.int32(seed)))
+                return lambda seed: float(run(q0, k0, v0, jnp.int32(seed)))
 
             f1, fR = chained(1), chained(1 + CHAIN)
             sd = int(time.time() * 1e3) % 10**9

@@ -177,17 +177,21 @@ def main():
             assert err < 0.02, (name, err)
 
             def chained(repeats, fn=fn):
+                # operands are jit ARGUMENTS (no giant HLO constants over
+                # the relay); per-iteration variation via a scalar factor —
+                # the old in-loop full-tensor normal() draw cost ~a kernel's
+                # worth of time and diluted every ratio toward 1
                 @jax.jit
-                def run(seed):
+                def run(q, k, v, seed):
                     def body(c, key):
-                        qq = jax.random.normal(key, (b, s, h, d), jnp.bfloat16)
-                        out = fn(qq, qq * 0.5, qq * 0.25)
+                        f = 1.0 + 0.01 * jax.random.normal(key, (), jnp.bfloat16)
+                        out = fn(q * f, k * f, v * f)
                         return c + out.astype(jnp.float32).sum(), None
                     keys = jax.random.split(
                         jax.random.fold_in(jax.random.PRNGKey(0), seed), repeats)
                     total, _ = jax.lax.scan(body, jnp.float32(0), keys)
                     return total
-                return lambda seed: float(run(jnp.int32(seed)))
+                return lambda seed: float(run(q, k, v, jnp.int32(seed)))
 
             f1, fR = chained(1), chained(1 + CHAIN)
             sd = int(time.time() * 1e3) % 10**9

@@ -114,7 +114,9 @@ def build_t5_class_table(
     else:
         out = _default_tokenize(texts, max_length, model_path)
     ids, mask = out if isinstance(out, tuple) else (out, out != 0)
-    mask = np.asarray(mask, np.int32)
+    # np.array (not asarray): the row fix-up below must never write into a
+    # caller-owned mask array
+    mask = np.array(mask, dtype=np.int32)
     # an all-pad row (empty null_text under a stub tokenizer) must keep one
     # attended position — the HF tokenizer always emits at least an EOS
     mask[mask.sum(axis=-1) == 0, 0] = 1

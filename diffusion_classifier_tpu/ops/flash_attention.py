@@ -42,7 +42,6 @@ _LOG2_E = 1.4426950408889634
 # v5e: H=6/blk=512/S=1024 (12.6 MB estimate) compiles, H=12/blk=512
 # (25 MB) OOMs — 13 MB keeps the measured-optimal picks on both sides.
 _SCOPED_BUDGET = 13 * 1024 * 1024
-_BH_BLOCK_Q = 512  # fallback kernel's q-block (scores ≤ 512·4096·4B = 8 MB)
 
 
 def supports(q: jax.Array, k: jax.Array, v: jax.Array) -> bool:
@@ -63,6 +62,17 @@ def _pick_fused_block_q(s: int, h: int) -> int | None:
         if h * blk * s * 4 <= _SCOPED_BUDGET:
             return blk
     return None
+
+
+def _pick_bh_block_q(s: int) -> int:
+    """Head-major q-block: one head's f32 scores AND its exp2 result live
+    concurrently ([blk, S] each), so budget 2·blk·S·4B — at S=4096 a 512
+    block estimates 16.8 MB (over the 13 MB boundary the fused path
+    measured), so the pick degrades to 256 there; ≤ 2048 keeps 512."""
+    for blk in (512, 256):
+        if 2 * blk * s * 4 <= _SCOPED_BUDGET:
+            return blk
+    return 128
 
 
 def _softmax_pv(q, k, v, scale):
@@ -181,7 +191,7 @@ def _flash_attention_impl(
         if block_q > 0:
             fused_blk = min(fused_blk, block_q)
         return _flash_fused_heads(q, k, v, fused_blk)
-    return _flash_bh(q, k, v, block_q if block_q > 0 else _BH_BLOCK_Q)
+    return _flash_bh(q, k, v, block_q if block_q > 0 else _pick_bh_block_q(s))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

@@ -24,6 +24,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# Restrict backend initialization to cpu BEFORE the first jax.devices()
+# call: with the env-pinned JAX_PLATFORMS=axon, backends() would otherwise
+# also initialize the remote TPU relay — and a down/unreachable relay then
+# fails the entire CPU suite at conftest import. Backends init lazily, so a
+# runtime config update still works even though jax itself was preloaded.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_platform_name", "cpu")
 assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
 assert len(jax.devices()) == 8, "tests expect 8 virtual CPU devices"
