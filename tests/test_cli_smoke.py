@@ -160,6 +160,120 @@ def _run_cli(exp_dir, script, env_var, cfg, timeout=1500):
     return proc
 
 
+def _tiny_unet_engine(cfg):
+    """DiffusionClassifier over a minimal conditional UNet.
+
+    The chexpert/ipmsa families build their fixed reference-parity
+    architectures (220M/130M params) in ``build_backbone`` — far too heavy
+    for a CPU smoke test — so the ood/explain main() tests patch the family's
+    ``build_engine`` with this tiny one. Everything else (env-JSON parse,
+    argparse menu, loader construction, checkpoint restore, evaluate,
+    metric/plot output) runs through the real entry-point code.
+    """
+    from diffusion_classifier_tpu.engine import DiffusionClassifier
+    from diffusion_classifier_tpu.models import UNetCondition2D, UNetConfig
+
+    backbone = UNetCondition2D(
+        UNetConfig(
+            sample_size=cfg.image_size,
+            in_channels=cfg.image_channels,
+            out_channels=cfg.image_channels,
+            layers_per_block=1,
+            block_out_channels=(32, 64),  # GroupNorm(32) needs 32|C
+            down_block_types=("DownBlock2D", "CrossAttnDownBlock2D"),
+            up_block_types=("CrossAttnUpBlock2D", "UpBlock2D"),
+            encoder_hid_dim=8,
+            encoder_hid_dim_type="text_proj",
+            cross_attention_dim=8,
+        ),
+    )
+    return DiffusionClassifier(backbone, cfg)
+
+
+def _seed_checkpoint(cfg):
+    """Write a restorable checkpoint for ``cfg`` (what train.py would leave)."""
+    import numpy as np
+
+    engine = _tiny_unet_engine(cfg)
+    batch = {
+        "images": np.zeros(
+            (cfg.batch_size, cfg.image_size, cfg.image_size, cfg.image_channels),
+            np.float32,
+        ),
+        "prompt": np.zeros((cfg.batch_size,), np.int32),
+    }
+    engine.init_params(batch)
+    engine._build_train_state(total_steps=1)
+    engine.save_checkpoint(0)
+
+
+def _cli_cfg(tmp_path, **over):
+    cfg = dict(
+        pred_param="v",
+        schedule="shifted_cosine",
+        noise_d=8,
+        image_size=8,
+        image_channels=3,
+        classes=2,
+        cfg_w=0.1,
+        encoder_type="nn",
+        ema_beta=0.99,
+        ema_warmup=0,
+        ema_update_freq=1,
+        mixed_precision="no",
+        evaluation_batches=1,
+        sampling_steps=2,
+        seed=0,
+        data_path="synthetic",
+        batch_size=8,  # conftest mesh is 8 virtual devices: 8 | batch
+        num_workers=0,
+        classification=True,
+        n_stages=1,
+        evaluation_per_stage=[1],
+        n_keep_per_stage=[1],
+        project_root=str(tmp_path),
+        experiment_dir="cli-smoke",
+        use_comet=False,
+    )
+    cfg.update(over)
+    return cfg
+
+
+def test_chexpert_ood_cli_main(tmp_path, monkeypatch, capsys):
+    """chexpert-unet ood.py main(): env-JSON + --dataset menu + restore +
+    classify + metric print, against a checkpoint laid out like train.py's."""
+    from diffusion_classifier_tpu.utils.config import ExperimentConfig
+
+    cfg = _cli_cfg(tmp_path)
+    _seed_checkpoint(ExperimentConfig(**cfg))
+
+    mod = _import_family("chexpert-unet", "ood")
+    monkeypatch.setattr(mod, "build_engine", _tiny_unet_engine)
+    monkeypatch.setenv("INFERENCE_CONFIG", json.dumps(cfg))
+    # --dataset must override the config's default (mimic)
+    mod.main(["--dataset", "isic"])
+    out = capsys.readouterr().out
+    assert "isic" in out and "accuracy" in out, out[-2000:]
+
+
+def test_ipmsa_explain_cli_main(tmp_path, monkeypatch):
+    """ipmsa explain.py main(): cf-forced label + from_t=0.5 re-noising
+    sampling + counterfactual plot artifact through the real entry point."""
+    from diffusion_classifier_tpu.utils.config import ExperimentConfig
+
+    # 2 channels = 1-slice FLAIR ‖ CT2F slabs for the ipmsa plotter
+    cfg = _cli_cfg(tmp_path, image_channels=2, slices=1, classification=False)
+    _seed_checkpoint(ExperimentConfig(**cfg))
+
+    mod = _import_family("ipmsa", "explain")
+    monkeypatch.setattr(mod, "build_engine", _tiny_unet_engine)
+    monkeypatch.setenv("INFERENCE_CONFIG", json.dumps(cfg))
+    mod.main(active_label=True)
+    out_dir = tmp_path / "cli-smoke" / "inference_images" / "active"
+    pngs = list(out_dir.glob("*.png"))
+    assert pngs, f"explain.py must write counterfactual plots in {out_dir}"
+
+
 def test_cifar10_train_then_inference_cli(tmp_path):
     """The reference workflow end-to-end through the real entry points."""
     exp_dir = os.path.join(REPO, "experiments", "cifar10")
