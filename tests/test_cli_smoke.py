@@ -239,15 +239,16 @@ def _cli_cfg(tmp_path, **over):
     return cfg
 
 
-def test_chexpert_ood_cli_main(tmp_path, monkeypatch, capsys):
-    """chexpert-unet ood.py main(): env-JSON + --dataset menu + restore +
+@pytest.mark.parametrize("family", ["chexpert-unet", "chexpert-dit"])
+def test_chexpert_ood_cli_main(tmp_path, monkeypatch, capsys, family):
+    """chexpert ood.py main(): env-JSON + --dataset menu + restore +
     classify + metric print, against a checkpoint laid out like train.py's."""
     from diffusion_classifier_tpu.utils.config import ExperimentConfig
 
     cfg = _cli_cfg(tmp_path)
     _seed_checkpoint(ExperimentConfig(**cfg))
 
-    mod = _import_family("chexpert-unet", "ood")
+    mod = _import_family(family, "ood")
     monkeypatch.setattr(mod, "build_engine", _tiny_unet_engine)
     monkeypatch.setenv("INFERENCE_CONFIG", json.dumps(cfg))
     # --dataset must override the config's default (mimic)
