@@ -1,4 +1,9 @@
-from .loader import ArrayDataLoader, MapDataLoader, Prefetcher
+from .loader import (
+    ArrayDataLoader,
+    MapDataLoader,
+    Prefetcher,
+    iter_item_batches,
+)
 from .synthetic import SyntheticDataLoader, make_synthetic_arrays
 
 __all__ = [
@@ -6,5 +11,6 @@ __all__ = [
     "MapDataLoader",
     "Prefetcher",
     "SyntheticDataLoader",
+    "iter_item_batches",
     "make_synthetic_arrays",
 ]

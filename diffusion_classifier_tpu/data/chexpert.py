@@ -119,7 +119,6 @@ class CheXpertDataLoader:
         image_size: int = 256,
         seed: int = 0,
     ):
-        del num_workers
         self.cf_label = cf_label
 
         def make(split, shuffle):
@@ -134,7 +133,8 @@ class CheXpertDataLoader:
                 return img, label
 
             loader = MapDataLoader(
-                len(ds), load, batch_size, shuffle=shuffle, seed=seed
+                len(ds), load, batch_size, shuffle=shuffle, seed=seed,
+                num_workers=num_workers,
             )
             return ds, Prefetcher(loader)
 

@@ -27,13 +27,14 @@ from __future__ import annotations
 
 import os
 import pickle
+import threading
 from glob import glob
 from typing import Callable, Optional
 
 import numpy as np
 
 from ..utils.lz4io import load_npy_lz4
-from .loader import Prefetcher, _process_slice
+from .loader import Prefetcher, _process_slice, iter_item_batches
 
 __all__ = [
     "MRIImageKeys",
@@ -263,8 +264,12 @@ class IPMSADataset:
             {"output": output, "idx": self._sample_ids(idx)}
         )
         if cache_path:
-            with open(cache_path, "wb") as f:
+            # atomic publish: concurrent decode workers (num_workers > 0) or
+            # peer ranks sharing cache_dir must never read a torn pickle
+            tmp = f"{cache_path}.{os.getpid()}.{threading.get_ident()}.tmp"
+            with open(tmp, "wb") as f:
                 pickle.dump(preprocessed, f)
+            os.replace(tmp, cache_path)
         return preprocessed
 
     def remove_condition(self, block_list: str, name: str = "filtered"):
@@ -536,11 +541,12 @@ class _IPMSABatcher:
 
     def __init__(
         self, dataset, batch_size, shuffle, seed,
-        process_index=None, process_count=None,
+        num_workers=0, process_index=None, process_count=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
+        self.num_workers = num_workers
         self._rng = np.random.default_rng(seed)
         self._proc = (process_index, process_count)
 
@@ -552,10 +558,14 @@ class _IPMSABatcher:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self._rng.shuffle(order)
-        for i in range(len(self)):
-            # decode only this process's slice of the global batch
-            idx = order[i * self.batch_size : (i + 1) * self.batch_size][rows]
-            items = [self.dataset[int(j)] for j in idx]
+        # decode only this process's slice of each global batch
+        idx_batches = (
+            order[i * self.batch_size : (i + 1) * self.batch_size][rows]
+            for i in range(len(self))
+        )
+        for items in iter_item_batches(
+            idx_batches, self.dataset.__getitem__, self.num_workers
+        ):
             batch = {}
             for key in items[0]:
                 vals = [it[key] for it in items]
@@ -582,13 +592,13 @@ class IPMSADataLoader:
         *,
         seed: int = 0,
     ):
-        del num_workers
-
         def make(path, shuffle):
             ds = IPMSADataset(path, slurm=slurm, cache_dir=cache_dir)
             ds.set_transform(collate_fn)
             return ds, Prefetcher(
-                _IPMSABatcher(ds, batch_size, shuffle, seed)
+                _IPMSABatcher(
+                    ds, batch_size, shuffle, seed, num_workers=num_workers
+                )
             )
 
         self.train_dataset, self.train_loader = make(train_data_path, True)

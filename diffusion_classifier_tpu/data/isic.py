@@ -16,7 +16,7 @@ from typing import Optional
 
 import numpy as np
 
-from .loader import Prefetcher, _process_slice
+from .loader import Prefetcher, _process_slice, iter_item_batches
 
 __all__ = ["ISICDataset", "ISICDataLoader"]
 
@@ -72,12 +72,13 @@ class _ISICBatcher:
 
     def __init__(
         self, dataset, batch_size, shuffle, seed, cf_label,
-        process_index=None, process_count=None,
+        num_workers=0, process_index=None, process_count=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.cf_label = cf_label
+        self.num_workers = num_workers
         self._rng = np.random.default_rng(seed)
         self._proc = (process_index, process_count)
 
@@ -89,10 +90,14 @@ class _ISICBatcher:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self._rng.shuffle(order)
-        for i in range(len(self)):
-            # decode only this process's slice of the global batch
-            idx = order[i * self.batch_size : (i + 1) * self.batch_size][rows]
-            items = [self.dataset[j] for j in idx]
+        # decode only this process's slice of each global batch
+        idx_batches = (
+            order[i * self.batch_size : (i + 1) * self.batch_size][rows]
+            for i in range(len(self))
+        )
+        for items in iter_item_batches(
+            idx_batches, self.dataset.__getitem__, self.num_workers
+        ):
             images = np.stack([im for im, _ in items]).astype(np.float32)
             labels = np.asarray([lb for _, lb in items], np.int32)
             batch = {"images": images, "prompt": labels}
@@ -114,12 +119,13 @@ class ISICDataLoader:
         image_size: int = 256,
         seed: int = 0,
     ):
-        del num_workers
-
         def make(split, shuffle):
             ds = ISICDataset(data_path, split, wavelet_transform, image_size)
             return ds, Prefetcher(
-                _ISICBatcher(ds, batch_size, shuffle, seed, cf_label)
+                _ISICBatcher(
+                    ds, batch_size, shuffle, seed, cf_label,
+                    num_workers=num_workers,
+                )
             )
 
         self.train_dataset, self.train_loader = make("train", True)

@@ -75,11 +75,11 @@ class PadChestDataLoader:
         image_size: int = 64,
         seed: int = 0,
     ):
-        del num_workers
         ds = PadChestDataset(data_path, wavelet_transform, image_size)
         self.dataset = ds
         loader = MapDataLoader(
-            len(ds), lambda i: ds[i], batch_size, shuffle=True, seed=seed
+            len(ds), lambda i: ds[i], batch_size, shuffle=True, seed=seed,
+            num_workers=num_workers,
         )
         self.data_loader = Prefetcher(loader)
 

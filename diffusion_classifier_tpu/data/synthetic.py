@@ -58,6 +58,7 @@ class SyntheticDataLoader:
         channels: int = 3,
         classes: int = 10,
         seed: int = 0,
+        cf_label: int = None,
     ):
         xs, ys, self.templates = make_synthetic_arrays(
             num_train + num_val,
@@ -66,6 +67,12 @@ class SyntheticDataLoader:
             classes=classes,
             seed=seed,
         )
+        if cf_label is not None:
+            # counterfactual label forcing, same semantics as the real
+            # loaders' collate-time override (`data/chexpert.py` cf_label,
+            # reference `dataset/chexpert.py:198-200`): every prompt becomes
+            # cf_label while the images keep their true class content
+            ys = np.full_like(ys, int(cf_label))
         self._train = ArrayDataLoader(
             xs[:num_train], ys[:num_train], batch_size, shuffle=True, seed=seed
         )

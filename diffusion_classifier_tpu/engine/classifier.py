@@ -20,7 +20,11 @@ import optax
 from flax import linen as nn
 
 from ..parallel.mesh import local_rows, make_mesh, replicated, shard_batch
-from ..parallel.sharding import restore_placement, shard_params
+from ..parallel.sharding import (
+    reshard_restored,
+    restore_placement,
+    shard_params,
+)
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from ..utils.config import ExperimentConfig
 from ..utils.profiling import enable_compilation_cache
@@ -95,6 +99,36 @@ class Classifier:
             return
         x = jnp.asarray(np.asarray(sample_batch["images"], np.float32))
         self.variables = self.model.init(self._next_rng(), x, train=False)
+        if self.config.pretrained_path:
+            # local-weights completion of the reference's ImageNet pretrained
+            # path (`nets/resnet.py:31-47`): load into the backbone subtree
+            # (the head stays fresh — the reference strips torchvision's fc
+            # and trains its own head, `:66` + `nets/classifier.py`)
+            from ..models.resnet import load_pretrained_resnet
+
+            sub = {
+                "params": self.variables["params"]["backbone"],
+                "batch_stats": self.variables.get("batch_stats", {}).get(
+                    "backbone", {}
+                ),
+            }
+            loaded = load_pretrained_resnet(
+                sub,
+                self.config.pretrained_path,
+                in_channels=int(x.shape[-1]),
+            )
+            self.variables = {
+                "params": {
+                    **self.variables["params"],
+                    "backbone": loaded["params"],
+                },
+                "batch_stats": {
+                    **self.variables.get("batch_stats", {}),
+                    "backbone": loaded["batch_stats"],
+                },
+            }
+            if self.is_main_process:
+                print(f"Loaded pretrained backbone: {self.config.pretrained_path}")
         self.variables = shard_params(
             self.mesh, self.variables, self.config.param_sharding
         )
@@ -253,12 +287,13 @@ class Classifier:
                                     step=epoch,
                                 )
                         metric.reset()
-                if self.is_main_process:
-                    if tracker is not None:
-                        tracker.log_metric("val_loss", val_loss, epoch=epoch)
-                    self.save_checkpoint(
-                        epoch, tracker.get_key() if tracker else None
-                    )
+                if self.is_main_process and tracker is not None:
+                    tracker.log_metric("val_loss", val_loss, epoch=epoch)
+                # collective save: every rank participates (Orbax barrier,
+                # `utils/checkpoint.py`); rank 0 alone writes the sidecar
+                self.save_checkpoint(
+                    epoch, tracker.get_key() if tracker else None
+                )
 
     def inference(self, val_dataloader, metrics=None):
         cfg = self.config
@@ -288,24 +323,33 @@ class Classifier:
             epoch=epoch,
             experiment_key=experiment_key,
         )
-        print(f"Checkpoint saved to {path}")
+        if self.is_main_process:
+            print(f"Checkpoint saved to {path}")
 
     def load_checkpoint(self, checkpoint_path):
         state, epoch, best, key = load_checkpoint(
             checkpoint_path, self._ckpt_state()
         )
         # keep each mesh-placed leaf's live placement (TP/FSDP shards) on
-        # restore; uncommitted scalars replicate (restore_placement)
-        self.variables = jax.device_put(
+        # restore; uncommitted scalars replicate (restore_placement),
+        # assembled from local data under multi-process (reshard_restored —
+        # a cross-host device_put would be refused by the backend)
+        self.variables = reshard_restored(
             state["variables"], restore_placement(self.mesh, self.variables)
         )
         self._opt_state = (
-            jax.device_put(
+            reshard_restored(
                 state["opt_state"],
                 restore_placement(self.mesh, self._opt_state),
             )
             if self._opt_state is not None
-            else jax.device_put(state["opt_state"], replicated(self.mesh))
+            else reshard_restored(
+                state["opt_state"],
+                jax.tree.map(
+                    lambda _: replicated(self.mesh), state["opt_state"]
+                ),
+            )
         )
-        print(f"Checkpoint loaded. Resuming from epoch {epoch}.")
+        if self.is_main_process:
+            print(f"Checkpoint loaded. Resuming from epoch {epoch}.")
         return epoch, best, key

@@ -34,6 +34,7 @@ __all__ = [
     "ema_decay",
     "ema_update",
     "cosine_warmup_schedule",
+    "lr_at",
     "make_optimizer",
 ]
 
@@ -102,6 +103,26 @@ def cosine_warmup_schedule(
         return base_lr * jnp.where(step < warmup_steps, warm, cos)
 
     return schedule
+
+
+def lr_at(
+    base_lr: float, warmup_steps: int, total_steps: int, step: int
+) -> float:
+    """Host-side value of :func:`cosine_warmup_schedule` at ``step``.
+
+    Pure-Python mirror for the train loop's step-cadence logging
+    (``log_every_steps``): evaluating the jnp schedule on the axon relay
+    would cost a ~30 ms device round-trip per log line for a scalar. Kept
+    bit-comparable to the jnp schedule by a unit test
+    (`tests/test_state.py`).
+    """
+    import math
+
+    step = float(step)
+    if step < warmup_steps:
+        return base_lr * step / max(1.0, float(warmup_steps))
+    progress = (step - warmup_steps) / max(1.0, float(total_steps - warmup_steps))
+    return base_lr * max(0.0, 0.5 * (1.0 + math.cos(math.pi * progress)))
 
 
 def make_optimizer(

@@ -29,9 +29,16 @@ the rule is byte-driven, not op-driven.
 from __future__ import annotations
 
 import jax
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["param_spec", "fsdp_spec", "shard_params", "restore_placement"]
+__all__ = [
+    "param_spec",
+    "fsdp_spec",
+    "shard_params",
+    "restore_placement",
+    "reshard_restored",
+]
 
 # params smaller than this stay replicated under FSDP: the all-gather
 # latency of many tiny tensors outweighs the bytes saved (biases, norm
@@ -164,3 +171,30 @@ def restore_placement(mesh: Mesh, live_tree):
         return s if isinstance(s, NamedSharding) else rep
 
     return jax.tree.map(target, live_tree)
+
+
+def reshard_restored(restored, targets):
+    """Place restored checkpoint leaves onto their target shardings.
+
+    Under multi-process, Orbax restores leaves whose template carried no
+    mesh placement (e.g. the ``step``/``ema_counter`` scalars) as
+    process-local single-device arrays; a plain ``jax.device_put`` onto a
+    global replicated sharding would then need a cross-host device transfer,
+    which the CPU/TPU backends refuse without DCN transport. Every process
+    restored the SAME bytes from the shared checkpoint, so the global array
+    is assembled from local data instead (``make_array_from_callback``).
+    Leaves already on their target sharding pass through untouched; anything
+    else (single-process resharding) keeps the plain device_put.
+    """
+
+    def put(x, s):
+        if getattr(x, "sharding", None) == s:
+            return x
+        if jax.process_count() > 1 and getattr(x, "is_fully_addressable", True):
+            arr = np.asarray(x)
+            return jax.make_array_from_callback(
+                arr.shape, s, lambda idx: arr[idx]
+            )
+        return jax.device_put(x, s)
+
+    return jax.tree.map(put, restored, targets)

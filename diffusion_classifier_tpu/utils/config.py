@@ -69,6 +69,16 @@ class ExperimentConfig:
     evaluation_batches: int = 2
     sampling_steps: int = 128
     seed: int = 0
+    # in-epoch observability (reference parity surface: per-step tqdm +
+    # Comet logging, `diffusion/diffusion_classifier.py:455-461`):
+    # log loss + LR through the tracker every K optimizer steps (0 = off;
+    # the host fetches the loss scalar only at this cadence — no per-step
+    # device sync)
+    log_every_steps: int = 0
+    # single-line progress printer for eval/classify loops (reference shows
+    # tqdm there, `:554,686`); None = auto (only when stderr is a TTY,
+    # tqdm's own default), True/False forces
+    progress: Optional[bool] = None
     # --- data ---
     data_path: str = "./data"
     batch_size: int = 64
@@ -95,6 +105,10 @@ class ExperimentConfig:
     patch_size: int = 2  # DiT
     variant: str = "resnet18"  # discriminative baseline
     pretrained: bool = False
+    # local torchvision-state_dict .npz for the discriminative ResNet — the
+    # zero-egress completion of the reference's ImageNet-weights path
+    # (`nets/resnet.py:31-47`); see models.resnet.load_pretrained_resnet
+    pretrained_path: Optional[str] = None
     # OOD evaluation dataset for the chexpert ood.py CLIs
     # (BASELINE.json multi-dataset sweep; also settable via --dataset)
     ood_dataset: str = "mimic"  # 'mimic' | 'padchest' | 'isic'

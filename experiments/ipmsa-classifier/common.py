@@ -52,6 +52,7 @@ def build_engine(config: ExperimentConfig) -> Classifier:
     backbone = ResNet2D(
         variant=config.variant,
         pretrained=config.pretrained,
+        pretrained_path=config.pretrained_path or "",
         in_channels=config.image_channels,
     )
     return Classifier(backbone, config)

@@ -56,6 +56,7 @@ def build_data(config: ExperimentConfig, cf_label=None):
             channels=config.image_channels,
             classes=config.classes,
             seed=config.seed,
+            cf_label=cf_label,
         )
     transform = make_default_transform(
         slices=config.slices,

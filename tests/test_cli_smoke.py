@@ -243,8 +243,6 @@ def _cli_cfg(tmp_path, **over):
 def test_chexpert_ood_cli_main(tmp_path, monkeypatch, capsys, family):
     """chexpert ood.py main(): env-JSON + --dataset menu + restore +
     classify + metric print, against a checkpoint laid out like train.py's."""
-    from diffusion_classifier_tpu.utils.config import ExperimentConfig
-
     cfg = _cli_cfg(tmp_path)
     _seed_checkpoint(ExperimentConfig(**cfg))
 
@@ -259,9 +257,12 @@ def test_chexpert_ood_cli_main(tmp_path, monkeypatch, capsys, family):
 
 def test_ipmsa_explain_cli_main(tmp_path, monkeypatch):
     """ipmsa explain.py main(): cf-forced label + from_t=0.5 re-noising
-    sampling + counterfactual plot artifact through the real entry point."""
-    from diffusion_classifier_tpu.utils.config import ExperimentConfig
+    sampling + counterfactual plot artifact through the real entry point.
 
+    The cf-forced label is genuinely exercised: the synthetic path honors
+    cf_label (every prompt overridden, `data/synthetic.py`), so ALL plots
+    must land under active/ and none under inactive/ (ADVICE r3).
+    """
     # 2 channels = 1-slice FLAIR ‖ CT2F slabs for the ipmsa plotter
     cfg = _cli_cfg(tmp_path, image_channels=2, slices=1, classification=False)
     _seed_checkpoint(ExperimentConfig(**cfg))
@@ -270,45 +271,29 @@ def test_ipmsa_explain_cli_main(tmp_path, monkeypatch):
     monkeypatch.setattr(mod, "build_engine", _tiny_unet_engine)
     monkeypatch.setenv("INFERENCE_CONFIG", json.dumps(cfg))
     mod.main(active_label=True)
-    out_dir = tmp_path / "cli-smoke" / "inference_images" / "active"
-    pngs = list(out_dir.glob("*.png"))
-    assert pngs, f"explain.py must write counterfactual plots in {out_dir}"
+    images_dir = tmp_path / "cli-smoke" / "inference_images"
+    pngs = list((images_dir / "active").glob("*.png"))
+    assert pngs, f"explain.py must write counterfactual plots in {images_dir}/active"
+    assert not list((images_dir / "inactive").glob("*.png")), (
+        "cf_label forces every prompt active; nothing may plot as inactive"
+    )
 
 
 def test_cifar10_train_then_inference_cli(tmp_path):
     """The reference workflow end-to-end through the real entry points."""
     exp_dir = os.path.join(REPO, "experiments", "cifar10")
-    cfg = dict(
-        pred_param="v",
-        schedule="shifted_cosine",
-        noise_d=8,
-        image_size=8,
-        image_channels=3,
+    # one source of truth for the smoke-config shape (ADVICE r3): the shared
+    # _cli_cfg base plus only what this workflow actually changes
+    cfg = _cli_cfg(
+        tmp_path,
         classes=10,
-        cfg_w=0.1,
-        encoder_type="nn",
-        ema_beta=0.99,
-        ema_warmup=0,
-        ema_update_freq=1,
-        mixed_precision="no",
         num_epochs=1,
         save_image_epochs=5,  # > num_epochs: skip in-loop eval
         eval_period=1,
-        evaluation_batches=1,
-        sampling_steps=2,
-        seed=0,
-        data_path="synthetic",
         batch_size=128,
-        num_workers=0,
         learning_rate=1e-3,
         lr_warmup_steps=2,
-        classification=True,
-        n_stages=1,
-        evaluation_per_stage=[1],
-        n_keep_per_stage=[1],
-        project_root=str(tmp_path),
         experiment_dir="cifar-smoke",
-        use_comet=False,
     )
     _run_cli(exp_dir, "train.py", "TRAINING_CONFIG", cfg)
     ckpt_dir = tmp_path / "cifar-smoke" / "checkpoints"

@@ -120,3 +120,21 @@ def test_grad_accum_runs_and_steps_once():
     assert int(new_state.step) == 1
     assert int(new_state.ema_counter) == 1
     assert float(new_state.params["w"]) != float(state.params["w"])
+
+
+def test_lr_at_matches_jnp_schedule():
+    """Host-side lr_at mirrors cosine_warmup_schedule bit-comparably."""
+    import pytest
+
+    from diffusion_classifier_tpu.engine.state import (
+        cosine_warmup_schedule,
+        lr_at,
+    )
+
+    sched = cosine_warmup_schedule(3e-4, 50, 400)
+    for step in [0, 1, 25, 49, 50, 51, 200, 399, 400, 450]:
+        # fp32 schedule vs float64 mirror: tight everywhere except right at
+        # the cosine zero-crossing, where fp32 cancellation dominates
+        assert float(sched(step)) == pytest.approx(
+            lr_at(3e-4, 50, 400, step), rel=1e-3, abs=1e-12
+        ), step
