@@ -40,13 +40,17 @@ from ..diffusion.schedule import make_schedule_fn
 from ..models.encoders import make_encoder
 from ..ops.wavelet import haar_dwt2
 from ..parallel.mesh import local_rows, make_mesh, shard_batch
-from ..parallel.sharding import restore_placement, shard_params
+from ..parallel.sharding import (
+    reshard_restored,
+    restore_placement,
+    shard_params,
+)
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from ..utils.config import ExperimentConfig
 from ..utils.profiling import enable_compilation_cache
 from ..utils.tracking import make_tracker
 from .denoiser import Denoiser, supports_prefix
-from .state import EmaConfig, init_train_state, make_optimizer
+from .state import EmaConfig, init_train_state, lr_at, make_optimizer
 from .steps import make_loss_fn, make_train_step
 
 
@@ -292,8 +296,30 @@ class DiffusionClassifier:
         from_t: float = 1.0,
     ):
         """Loop val batches through classify/sample + metric updates (reference `:532-578`)."""
+        # single-line progress (the reference's tqdm over this loop,
+        # `:554,686`): auto-enabled on a TTY, forced by config.progress
+        show = self.config.progress
+        if show is None:
+            show = sys.stderr.isatty()
+        show = show and self.is_main_process
+        try:
+            total = len(val_loader)
+            if stop_idx is not None:
+                total = min(total, stop_idx + 1)
+        except TypeError:
+            total = None
+        mode = "classify" if classification else "sample"
+
         val_samples, batches = [], []
+        idx = -1
         for idx, batch in enumerate(val_loader):
+            if show:
+                print(
+                    f"\r{mode} batch {idx + 1}/{total if total else '?'}",
+                    end="",
+                    file=sys.stderr,
+                    flush=True,
+                )
             if self.state is None:
                 # standalone evaluate() (no train_loop/inference first):
                 # initialize params AND an eval-only train state so the
@@ -325,6 +351,8 @@ class DiffusionClassifier:
             batches.append(batch)
             if stop_idx is not None and idx == stop_idx:
                 break
+        if show and idx >= 0:
+            print(file=sys.stderr)  # finish the progress line
         return val_samples, batches, metrics
 
     def train_loop(
@@ -380,19 +408,36 @@ class DiffusionClassifier:
         # Preemption safety (SURVEY §5.3): on SIGTERM/SIGINT, checkpoint the
         # latest state before exiting so `resume` continues cleanly. The
         # reference has no preemption handling (recovery is manual).
-        # MULTI-PROCESS CAVEAT: the handler installs on the main process
-        # only, matching checkpointing being main-only. Under a real
-        # multi-process mesh the save fetches globally-sharded state, which
-        # requires ALL processes alive and participating — a handler firing
-        # on rank 0 after another rank died would hang in the collective
-        # rather than save. Orchestrators must deliver the signal to every
-        # rank (standard SLURM/GKE behavior); non-main ranks exit on the
-        # default handler while rank 0 writes.
+        # MULTI-PROCESS: the handler installs on EVERY rank — the Orbax save
+        # is a collective (each rank writes its exclusive shards of TP/FSDP
+        # state and participates in the commit barrier,
+        # `utils/checkpoint.py::_atomic_save`), so all ranks must receive
+        # the signal and enter the save together (standard SLURM/GKE
+        # delivery). A rank that dies instead of entering the handler would
+        # leave the others in the barrier — the deadline there is the
+        # orchestrator's kill grace period. Proven end-to-end by the
+        # 2-process cluster test (`tests/test_preemption.py`).
+        # Under a REAL multi-process cluster with the runtime preemption sync
+        # manager (initialized by `parallel.mesh.init_distributed`), the
+        # SIGTERM notice is handled at the runtime level instead: every rank
+        # polls `reached_preemption_sync_point(step)` (a local flag check —
+        # no per-step collective) and all ranks save at the SAME agreed step.
+        # A Python handler would race the ranks' dispatch positions — a rank
+        # saving one step ahead of its peer deadlocks both in the peer's
+        # never-completing collective.
+        from ..parallel.mesh import preemption_sync_active
+
+        use_sync_point = (
+            cfg.save_on_signal
+            and jax.process_count() > 1
+            and preemption_sync_active()
+        )
         current_epoch = start_epoch
-        if cfg.save_on_signal and self.is_main_process:
+        if cfg.save_on_signal and not use_sync_point:
 
             def _save_and_exit(signum, frame):
-                print(f"Signal {signum}: saving preemption checkpoint...")
+                if self.is_main_process:
+                    print(f"Signal {signum}: saving preemption checkpoint...")
                 self.save_checkpoint(
                     current_epoch - 1,
                     tracker.get_key() if tracker is not None else None,
@@ -408,6 +453,8 @@ class DiffusionClassifier:
             prev_handlers = {}
 
         loss = None
+        log_k = cfg.log_every_steps
+        global_step = start_epoch * steps_per_epoch
         for epoch in range(start_epoch, cfg.num_epochs):
             current_epoch = epoch
             epoch_start = time.time()
@@ -416,6 +463,41 @@ class DiffusionClassifier:
                 self.state, loss = self._train_step(
                     self.state, dev["images"], dev["prompt"], self._next_rng()
                 )
+                global_step += 1
+                if use_sync_point:
+                    from jax.experimental import multihost_utils
+
+                    if multihost_utils.reached_preemption_sync_point(
+                        global_step
+                    ):
+                        if self.is_main_process:
+                            print(
+                                f"Preemption notice: saving checkpoint at "
+                                f"synced step {global_step}..."
+                            )
+                        self.save_checkpoint(
+                            current_epoch - 1,
+                            tracker.get_key() if tracker is not None else None,
+                            checkpoint_tracker if checkpoint_metric else None,
+                        )
+                        raise SystemExit(128 + signal.SIGTERM)
+                if log_k and global_step % log_k == 0 and self.is_main_process:
+                    # host fetch at the configured cadence ONLY — between
+                    # log points the step chain stays fully async on device
+                    loss_val = float(jax.block_until_ready(loss))
+                    lr = lr_at(
+                        cfg.learning_rate,
+                        cfg.lr_warmup_steps,
+                        total_steps,
+                        global_step,
+                    )
+                    if tracker is not None:
+                        tracker.log_metric("loss", loss_val, step=global_step)
+                        tracker.log_metric("lr", lr, step=global_step)
+                    print(
+                        f"step {global_step}/{total_steps}: "
+                        f"loss={loss_val:.5f} lr={lr:.3e}"
+                    )
             jax.block_until_ready(loss)
             epoch_elapsed = time.time() - epoch_start
             if self.is_main_process:
@@ -493,12 +575,14 @@ class DiffusionClassifier:
                             print(metric_output)
                         metric.reset()
 
+                # collective save: every rank participates (Orbax writes its
+                # shards + commit barrier); rank 0 alone writes the sidecar
+                self.save_checkpoint(
+                    epoch,
+                    tracker.get_key() if tracker is not None else None,
+                    checkpoint_tracker if checkpoint_metric else None,
+                )
                 if self.is_main_process:
-                    self.save_checkpoint(
-                        epoch,
-                        tracker.get_key() if tracker is not None else None,
-                        checkpoint_tracker if checkpoint_metric else None,
-                    )
                     print(
                         f"Val evaluation time: {time.time() - eval_start:.2f} s."
                     )
@@ -568,7 +652,8 @@ class DiffusionClassifier:
             experiment_key=experiment_key,
             best=best,
         )
-        print(f"Checkpoint saved to {path}")
+        if self.is_main_process:
+            print(f"Checkpoint saved to {path}")
 
     def load_checkpoint(self, checkpoint_path: str):
         assert self.state is not None, "initialize parameters before restoring"
@@ -578,11 +663,14 @@ class DiffusionClassifier:
         # Re-place mesh-placed leaves exactly where the live state had them
         # (TP/FSDP shards included — blanket replication would silently undo
         # the configured placement on resume); uncommitted scalars replicate
-        # (see parallel.sharding.restore_placement).
-        self.state = jax.device_put(
+        # (restore_placement), assembled from local data under multi-process
+        # (reshard_restored — device_put would need a cross-host transfer).
+        self.state = reshard_restored(
             state, restore_placement(self.mesh, self.state)
         )
-        print(
-            f"Checkpoint loaded. Resuming from epoch {epoch}. Best metric {best_metric}"
-        )
+        if self.is_main_process:
+            print(
+                f"Checkpoint loaded. Resuming from epoch {epoch}. "
+                f"Best metric {best_metric}"
+            )
         return epoch, best_metric, experiment_key

@@ -28,7 +28,44 @@ __all__ = [
     "replicated",
     "shard_batch",
     "host_local_batch_size",
+    "preemption_sync_active",
 ]
+
+
+def _init_preemption_sync() -> None:
+    """Start the distributed runtime's preemption sync manager.
+
+    The manager registers the SIGTERM preemption notice at the runtime level
+    and lets every rank agree on one safe step to checkpoint at
+    (``multihost_utils.reached_preemption_sync_point``) — the coordination
+    the engine's single-process Python signal handler cannot provide once
+    ranks dispatch steps independently (a rank saving one step ahead of its
+    peer deadlocks both: the peer's in-flight collective never completes).
+    Best-effort: runtimes without the manager fall back to the Python
+    handler path.
+    """
+    try:
+        from jax._src import distributed
+
+        if (
+            distributed.global_state.client is not None
+            and distributed.global_state.preemption_sync_manager is None
+        ):
+            distributed.global_state.initialize_preemption_sync_manager()
+    except Exception as e:  # pragma: no cover - runtime without the manager
+        import warnings
+
+        warnings.warn(f"preemption sync manager unavailable: {e!r}")
+
+
+def preemption_sync_active() -> bool:
+    """True when the runtime-level preemption sync manager is running."""
+    try:
+        from jax._src import distributed
+
+        return distributed.global_state.preemption_sync_manager is not None
+    except Exception:  # pragma: no cover
+        return False
 
 
 def init_distributed() -> None:
@@ -60,6 +97,7 @@ def init_distributed() -> None:
             world = int(os.environ.get("OMPI_COMM_WORLD_SIZE") or 1)
         if world > 1:
             jax.distributed.initialize()
+            _init_preemption_sync()
         return
     n = os.environ.get("JAX_NUM_PROCESSES")
     pid = os.environ.get("JAX_PROCESS_ID")
@@ -68,6 +106,7 @@ def init_distributed() -> None:
         num_processes=int(n) if n is not None else None,
         process_id=int(pid) if pid is not None else None,
     )
+    _init_preemption_sync()
 
 
 def make_mesh(

@@ -58,6 +58,22 @@ def _rm(path: str) -> None:
         os.remove(path)
 
 
+def _barrier(name: str) -> None:
+    """Cross-process sync point (no-op single-process).
+
+    Orbax's save is a COLLECTIVE: every process must call it (process 0
+    writes replicated data, the others write their exclusive shards and
+    participate in the commit barrier). The filesystem bookkeeping around it
+    (pre-clean, sentinel, renames) must happen on exactly one process, with
+    the others held at these barriers so no rank races ahead into the next
+    save while process 0 is still renaming this one.
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
 def _atomic_save(checkpointer: ocp.StandardCheckpointer, directory: str, state):
     """Crash-safe save of ``<directory>/state``.
 
@@ -77,28 +93,34 @@ def _atomic_save(checkpointer: ocp.StandardCheckpointer, directory: str, state):
     final = os.path.join(directory, _STATE)
     tmp, old = final + ".new", final + ".old"
     ok = tmp + ".complete"
-    if not os.path.exists(final) and os.path.exists(tmp):
-        if _new_is_complete(tmp):
-            # Interrupted swap: this .new is the directory's newest complete
-            # checkpoint — FINISH the swap rather than deleting it, so a
-            # second crash during the upcoming save still leaves it loadable.
-            os.rename(tmp, final)
-        else:
-            # Torn write (crash during the very first save): nothing
-            # loadable inside — do not let it masquerade as a checkpoint.
-            _rm(tmp)
-    if os.path.exists(final):
-        for stale in (tmp, old, ok):
-            _rm(stale)
-    checkpointer.save(tmp, state)
+    primary = jax.process_index() == 0
+    if primary:
+        if not os.path.exists(final) and os.path.exists(tmp):
+            if _new_is_complete(tmp):
+                # Interrupted swap: this .new is the directory's newest
+                # complete checkpoint — FINISH the swap rather than deleting
+                # it, so a second crash during the upcoming save still
+                # leaves it loadable.
+                os.rename(tmp, final)
+            else:
+                # Torn write (crash during the very first save): nothing
+                # loadable inside — do not let it masquerade as a checkpoint.
+                _rm(tmp)
+        if os.path.exists(final):
+            for stale in (tmp, old, ok):
+                _rm(stale)
+    _barrier("ckpt-preclean")  # no rank may write into tmp before it is clean
+    checkpointer.save(tmp, state)  # collective: every process participates
     checkpointer.wait_until_finished()  # tmp is complete before any rename
-    with open(ok, "w") as f:
-        f.write("complete")
-    if os.path.exists(final):
-        os.rename(final, old)
-    os.rename(tmp, final)
-    _rm(ok)
-    _rm(old)
+    if primary:
+        with open(ok, "w") as f:
+            f.write("complete")
+        if os.path.exists(final):
+            os.rename(final, old)
+        os.rename(tmp, final)
+        _rm(ok)
+        _rm(old)
+    _barrier("ckpt-commit")  # nobody starts the next save mid-rename
 
 
 def _resolve_state_dir(checkpoint_path: str) -> str:
@@ -130,7 +152,12 @@ def save_checkpoint(
     best: bool = False,
     checkpointer: Optional[ocp.StandardCheckpointer] = None,
 ) -> str:
-    """Save latest (and optionally best) checkpoint. Returns the latest dir."""
+    """Save latest (and optionally best) checkpoint. Returns the latest dir.
+
+    COLLECTIVE under multi-process: every process must call this (the Orbax
+    save inside is itself collective); process 0 alone writes the sidecar
+    and performs the swap renames. Single-process behavior is unchanged.
+    """
     ckptr = checkpointer or ocp.StandardCheckpointer()
     sidecar = {
         "epoch": epoch + 1,  # reference stores the NEXT epoch (`:745`)
@@ -143,10 +170,11 @@ def save_checkpoint(
     for directory in targets:
         os.makedirs(directory, exist_ok=True)
         _atomic_save(ckptr, directory, state)
-        sidecar_path = os.path.join(directory, _SIDECAR)
-        with open(sidecar_path + ".new", "w") as f:
-            json.dump(sidecar, f)
-        os.replace(sidecar_path + ".new", sidecar_path)
+        if jax.process_index() == 0:
+            sidecar_path = os.path.join(directory, _SIDECAR)
+            with open(sidecar_path + ".new", "w") as f:
+                json.dump(sidecar, f)
+            os.replace(sidecar_path + ".new", sidecar_path)
     return targets[0]
 
 

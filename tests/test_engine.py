@@ -308,3 +308,62 @@ def test_inference_counterfactual_from_t(tmp_path):
     assert np.abs(s).max() <= 1.0 + 1e-6
     out_dir = os.path.join(cfg2.experiment_path, "inference_images")
     assert os.path.isdir(out_dir) and len(os.listdir(out_dir)) > 0
+
+
+def test_log_every_steps_tracker_cadence(tmp_path, capsys):
+    """Step-cadence loss/LR logging (VERDICT r3 next-round §7).
+
+    With ``log_every_steps=2`` and ``use_comet=True`` (→ JSONL backend in
+    this zero-egress environment), the tracker file must contain a loss and
+    an lr event at every 2nd optimizer step, and stdout a per-step line —
+    in-epoch signal the reference surfaces via tqdm + Comet
+    (`diffusion/diffusion_classifier.py:455-461`).
+    """
+    cfg, backbone, data = tiny_setup(
+        tmp_path, num_epochs=1, use_comet=True, log_every_steps=2
+    )
+    engine = DiffusionClassifier(backbone, cfg)
+    engine.train_loop(data.get_train_loader(), data.get_val_loader())
+    steps = len(data.get_train_loader())  # 4 steps (64/16)
+
+    track = os.path.join(cfg.experiment_path, "track.jsonl")
+    events = [json.loads(l) for l in open(track)]
+    loss_steps = [
+        e["step"] for e in events
+        if e["event"] == "metric" and e["name"] == "loss" and e["step"]
+    ]
+    lr_steps = [
+        e["step"] for e in events
+        if e["event"] == "metric" and e["name"] == "lr"
+    ]
+    expected = list(range(2, steps + 1, 2))
+    assert loss_steps == expected
+    assert lr_steps == expected
+    # LR values follow the host-side schedule mirror
+    from diffusion_classifier_tpu.engine.state import lr_at
+
+    for e in events:
+        if e["event"] == "metric" and e["name"] == "lr":
+            assert e["value"] == pytest.approx(
+                lr_at(cfg.learning_rate, cfg.lr_warmup_steps, steps, e["step"])
+            )
+    out = capsys.readouterr().out
+    assert f"step 2/{steps}:" in out and "loss=" in out and "lr=" in out
+
+
+def test_progress_printer_eval_loop(tmp_path, capsys):
+    """config.progress=True prints a single-line batch counter to stderr."""
+    cfg, backbone, data = tiny_setup(tmp_path, num_epochs=1, progress=True)
+    engine = DiffusionClassifier(backbone, cfg)
+    engine.train_loop(data.get_train_loader(), data.get_val_loader())
+    capsys.readouterr()
+    engine.evaluate(data.get_val_loader(), classification=True)
+    err = capsys.readouterr().err
+    assert "\rclassify batch 1/2" in err and "\rclassify batch 2/2" in err
+    assert err.endswith("\n")
+
+    # progress=False (forced off) prints nothing even when stderr is piped
+    cfg2 = cfg.replace(progress=False)
+    engine.config = cfg2.validate()
+    engine.evaluate(data.get_val_loader(), classification=True)
+    assert capsys.readouterr().err == ""
