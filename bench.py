@@ -211,11 +211,37 @@ def _host_pipeline_line():
             rate(workers, 128)  # warm the page cache + pool
             serial = max(rate(0, 256) for _ in range(2))
             pooled = max(rate(workers, 1024) for _ in range(2))
+
+            # real-data geometry: the reference's CheXpert scans are large
+            # (~2800px) downsampled to 256 — measure a 2048px source with
+            # and without fast_decode (reduced-scale libjpeg decode,
+            # `data/loader.py::decode_image`)
+            from diffusion_classifier_tpu.data.loader import decode_image
+
+            big = os.path.join(tmp, "big.jpg")
+            small = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+            Image.fromarray(small, "L").resize(
+                (2048, 2048), Image.BILINEAR
+            ).save(big, quality=92)
+
+            def hires_rate(fast, n=48):
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    np.asarray(decode_image(big, 256, fast=fast))
+                return n / (time.perf_counter() - t0)
+
+            hires_rate(True), hires_rate(False)  # warm
+            hires = max(hires_rate(False) for _ in range(2))
+            hires_fast = max(hires_rate(True) for _ in range(2))
             return {
                 "metric": "host_pipeline_images_per_sec",
                 "value": round(pooled, 1),
                 "unit": "images/sec",
                 "serial_images_per_sec": round(serial, 1),
+                "hires_2048px_images_per_sec": round(hires, 1),
+                "hires_2048px_fast_decode_images_per_sec": round(
+                    hires_fast, 1
+                ),
                 "num_workers": workers,
                 "cpu_count": os.cpu_count(),
                 "protocol": "256px JPEG decode, CheXpert item path",

@@ -27,7 +27,7 @@ from typing import Optional
 
 import numpy as np
 
-from .loader import MapDataLoader, Prefetcher
+from .loader import MapDataLoader, Prefetcher, decode_image
 
 __all__ = ["CheXpertDataset", "CheXpertDataLoader"]
 
@@ -61,11 +61,13 @@ class CheXpertDataset:
         split: str = "train",
         wavelet_transform: bool = False,
         image_size: int = 256,
+        fast_decode: bool = False,
     ):
         # wavelet_transform recorded for parity; applied in-graph by the engine
         self.wavelet_transform = wavelet_transform
         self.data_path = data_path
         self.image_size = image_size
+        self.fast_decode = fast_decode
         df = _load_frame(os.path.join(data_path, "train.csv"))
         n = len(df)
         if split == "train":
@@ -86,11 +88,12 @@ class CheXpertDataset:
         return len(self.paths)
 
     def __getitem__(self, idx: int):
-        from PIL import Image
-
         rel = os.path.join(*self.paths[idx].split("/")[1:])
-        img = Image.open(os.path.join(self.data_path, rel)).convert("RGB")
-        img = img.resize((self.image_size, self.image_size), Image.BILINEAR)
+        img = decode_image(
+            os.path.join(self.data_path, rel),
+            self.image_size,
+            fast=self.fast_decode,
+        )
         arr = np.asarray(img, np.float32) / 255.0
         arr = (arr - 0.5) / 0.5  # [-1, 1], NHWC
         return arr, int(self.labels[idx])
@@ -118,12 +121,14 @@ class CheXpertDataLoader:
         *,
         image_size: int = 256,
         seed: int = 0,
+        fast_decode: bool = False,
     ):
         self.cf_label = cf_label
 
         def make(split, shuffle):
             ds = CheXpertDataset(
-                data_path, split, wavelet_transform, image_size
+                data_path, split, wavelet_transform, image_size,
+                fast_decode=fast_decode,
             )
 
             def load(i):

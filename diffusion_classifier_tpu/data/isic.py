@@ -16,7 +16,12 @@ from typing import Optional
 
 import numpy as np
 
-from .loader import Prefetcher, _process_slice, iter_item_batches
+from .loader import (
+    Prefetcher,
+    _process_slice,
+    decode_image,
+    iter_item_batches,
+)
 
 __all__ = ["ISICDataset", "ISICDataLoader"]
 
@@ -28,12 +33,14 @@ class ISICDataset:
         split: str = "train",
         wavelet_transform: bool = False,
         image_size: int = 256,
+        fast_decode: bool = False,
     ):
         import pandas as pd
 
         self.wavelet_transform = wavelet_transform
         self.data_path = data_path
         self.image_size = image_size
+        self.fast_decode = fast_decode
         df = pd.read_csv(os.path.join(data_path, "train_balanced.csv"))
         n = len(df)
         if split == "train":
@@ -54,11 +61,8 @@ class ISICDataset:
         return len(self.names)
 
     def __getitem__(self, idx: int):
-        from PIL import Image
-
         path = os.path.join(self.data_path, "images", f"{self.names[idx]}.jpg")
-        img = Image.open(path).convert("RGB")
-        img = img.resize((self.image_size, self.image_size), Image.BILINEAR)
+        img = decode_image(path, self.image_size, fast=self.fast_decode)
         arr = (np.asarray(img, np.float32) / 255.0 - 0.5) / 0.5
         return arr, int(self.labels[idx])
 
@@ -118,9 +122,13 @@ class ISICDataLoader:
         *,
         image_size: int = 256,
         seed: int = 0,
+        fast_decode: bool = False,
     ):
         def make(split, shuffle):
-            ds = ISICDataset(data_path, split, wavelet_transform, image_size)
+            ds = ISICDataset(
+                data_path, split, wavelet_transform, image_size,
+                fast_decode=fast_decode,
+            )
             return ds, Prefetcher(
                 _ISICBatcher(
                     ds, batch_size, shuffle, seed, cf_label,

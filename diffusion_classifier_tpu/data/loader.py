@@ -34,8 +34,31 @@ __all__ = [
     "ArrayDataLoader",
     "MapDataLoader",
     "Prefetcher",
+    "decode_image",
     "iter_item_batches",
 ]
+
+
+def decode_image(path: str, image_size: int, *, fast: bool = False):
+    """Open → (optional reduced-scale JPEG decode) → RGB → bilinear resize.
+
+    The shared decode core of the JPEG-sourced datasets (CheXpert/MIMIC/
+    ISIC — reference transform stacks `dataset/{chexpert,mimic,isic}.py`).
+    With ``fast=True``, PIL's draft mode asks libjpeg to decode at the
+    smallest DCT-domain scale (1/1…1/8) still ≥ the target, and the bilinear
+    resize finishes the job — 3–8× less IDCT work on large sources (the
+    reference's CheXpert scans are ~2800 px, downsampled to 256). Pixel
+    differences vs the full decode are at resampling-noise level (tested);
+    non-JPEG formats ignore draft and decode identically. Returns a PIL
+    image of size ``image_size²`` in RGB.
+    """
+    from PIL import Image
+
+    img = Image.open(path)
+    if fast:
+        img.draft(None, (image_size, image_size))
+    img = img.convert("RGB")
+    return img.resize((image_size, image_size), Image.BILINEAR)
 
 
 def iter_item_batches(

@@ -15,7 +15,7 @@ import os
 
 import numpy as np
 
-from .loader import MapDataLoader, Prefetcher
+from .loader import MapDataLoader, Prefetcher, decode_image
 
 __all__ = ["MimicOodDataset", "MimicOodDataLoader", "mimicOodDataLoader"]
 
@@ -26,12 +26,14 @@ class MimicOodDataset:
         data_path: str,
         wavelet_transform: bool = False,
         image_size: int = 64,
+        fast_decode: bool = False,
     ):
         import pandas as pd
 
         self.wavelet_transform = wavelet_transform
         self.data_path = data_path
         self.image_size = image_size
+        self.fast_decode = fast_decode
 
         df = pd.read_csv(os.path.join(data_path, "mimic_pa_metadata.csv"))
         df = df[["image_path", "Pleural Effusion"]].copy()
@@ -49,11 +51,12 @@ class MimicOodDataset:
         return len(self.paths)
 
     def __getitem__(self, idx: int):
-        from PIL import Image
-
         rel = os.path.join(*self.paths[idx].split("/")[2:])
-        img = Image.open(os.path.join(self.data_path, rel)).convert("RGB")
-        img = img.resize((self.image_size, self.image_size), Image.BILINEAR)
+        img = decode_image(
+            os.path.join(self.data_path, rel),
+            self.image_size,
+            fast=self.fast_decode,
+        )
         arr = np.asarray(img, np.float32) / 255.0  # stays in [0, 1] (`:41`)
         return arr, int(self.labels[idx])
 
@@ -68,8 +71,11 @@ class MimicOodDataLoader:
         *,
         image_size: int = 64,
         seed: int = 0,
+        fast_decode: bool = False,
     ):
-        ds = MimicOodDataset(data_path, wavelet_transform, image_size)
+        ds = MimicOodDataset(
+            data_path, wavelet_transform, image_size, fast_decode=fast_decode
+        )
         self.dataset = ds
         loader = MapDataLoader(
             len(ds), lambda i: ds[i], batch_size, shuffle=True, seed=seed,

@@ -52,6 +52,7 @@ def make_ood_loader(name: str, config):
             batch_size=config.batch_size,
             num_workers=config.num_workers,
             seed=config.seed,
+            fast_decode=config.fast_decode,
         ).get_data_loader()
     if name == "padchest":
         from .padchest import PadChestDataLoader
@@ -71,4 +72,5 @@ def make_ood_loader(name: str, config):
         batch_size=config.batch_size,
         num_workers=config.num_workers,
         seed=config.seed,
+        fast_decode=config.fast_decode,
     ).get_test_loader()

@@ -83,6 +83,12 @@ class ExperimentConfig:
     data_path: str = "./data"
     batch_size: int = 64
     num_workers: int = 4
+    # reduced-scale JPEG decode (PIL draft): libjpeg decodes at the smallest
+    # DCT scale >= image_size before the bilinear resize — 3-8x less host
+    # decode work on large sources (CheXpert scans are ~2800px). Off by
+    # default: pixel output differs from the full decode at resampling-noise
+    # level (data/loader.py::decode_image)
+    fast_decode: bool = False
     slices: Optional[int] = None
     wavelet_transform: bool = False
     # --- optimizer ---

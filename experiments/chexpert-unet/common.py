@@ -76,6 +76,7 @@ def build_data(config: ExperimentConfig):
         num_workers=config.num_workers,
         image_size=config.image_size,
         seed=config.seed,
+        fast_decode=config.fast_decode,
     )
 
 

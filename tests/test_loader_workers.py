@@ -128,3 +128,80 @@ def test_pooled_loader_composes_with_prefetcher():
     for s, p in zip(serial, stacked):
         np.testing.assert_array_equal(s["images"], p["images"])
         np.testing.assert_array_equal(s["prompt"], p["prompt"])
+
+
+class TestFastDecode:
+    """Reduced-scale JPEG decode (`data/loader.py::decode_image`, fast=True)."""
+
+    @staticmethod
+    def _write_jpeg(path, px):
+        from PIL import Image
+
+        rng = np.random.default_rng(0)
+        small = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+        Image.fromarray(small, "L").resize((px, px), Image.BILINEAR).save(
+            path, quality=92
+        )
+
+    def test_fast_matches_full_decode_within_noise(self, tmp_path):
+        from diffusion_classifier_tpu.data.loader import decode_image
+
+        p = tmp_path / "big.jpg"
+        self._write_jpeg(p, 2048)
+        slow = np.asarray(decode_image(p, 256), np.float32) / 255.0
+        fast = np.asarray(decode_image(p, 256, fast=True), np.float32) / 255.0
+        assert slow.shape == fast.shape == (256, 256, 3)
+        # DCT-domain downscale + bilinear vs full decode + bilinear: equal up
+        # to resampling noise on smooth (radiograph-like) content
+        assert np.mean(np.abs(slow - fast)) < 0.02
+        assert np.max(np.abs(slow - fast)) < 0.15
+
+    def test_fast_noop_on_png(self, tmp_path):
+        from PIL import Image
+
+        from diffusion_classifier_tpu.data.loader import decode_image
+
+        p = tmp_path / "img.png"
+        rng = np.random.default_rng(1)
+        Image.fromarray(
+            rng.integers(0, 256, (300, 300, 3), dtype=np.uint8), "RGB"
+        ).save(p)
+        slow = np.asarray(decode_image(p, 128))
+        fast = np.asarray(decode_image(p, 128, fast=True))
+        np.testing.assert_array_equal(slow, fast)  # draft ignores non-JPEG
+
+    def test_fast_decode_is_cheaper_on_large_sources(self, tmp_path):
+        from diffusion_classifier_tpu.data.loader import decode_image
+
+        p = tmp_path / "big.jpg"
+        self._write_jpeg(p, 2048)
+        n = 12
+
+        def run(fast):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                decode_image(p, 256, fast=fast)
+            return time.perf_counter() - t0
+
+        run(True), run(False)  # warm page cache both ways
+        slow, fast = run(False), run(True)
+        assert fast < 0.7 * slow, f"draft decode not cheaper: {fast:.3f} vs {slow:.3f}"
+
+    def test_chexpert_dataset_honors_fast_decode(self, tmp_path, monkeypatch):
+        """The flag reaches the dataset decode path (spy on decode_image)."""
+        import diffusion_classifier_tpu.data.chexpert as cx
+
+        seen = {}
+
+        def spy(path, size, *, fast=False):
+            seen["fast"] = fast
+            from PIL import Image
+
+            return Image.new("RGB", (size, size))
+
+        monkeypatch.setattr(cx, "decode_image", spy)
+        ds = cx.CheXpertDataset.__new__(cx.CheXpertDataset)
+        ds.data_path, ds.image_size, ds.fast_decode = str(tmp_path), 64, True
+        ds.paths, ds.labels = ["root/p/study1/view1_frontal.jpg"], np.array([1])
+        img, label = ds[0]
+        assert seen["fast"] is True and img.shape == (64, 64, 3)
