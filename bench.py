@@ -763,6 +763,13 @@ def _chexpert_lines(measure):
         evaluation_per_stage=(EVALS,),
         n_keep_per_stage=(1,),
         class_chunk=CLASS_CHUNK,
+        # At K=2 the class scan has only two iterations: unrolling them (and
+        # pairs of eval chunks) removes while-loop back-edges XLA cannot
+        # schedule across — 228.7 → 245.3 img/s measured
+        # (benchmarks/scan_unroll_probe.py; BASELINE.md round 4). The
+        # 10-class headline LOSES with unrolling (467 → 437), so this stays
+        # per-config, not an auto default.
+        scan_unroll=2,
     )
     dit_fn = lambda p, xx, ll, key: dit_inner(p, dwt(xx), ll, key)
     sec = measure(

@@ -81,6 +81,7 @@ def make_classifier(
     n_fast_classes: int = 2,
     eval_group: int = 0,
     class_chunk: int = 0,
+    scan_unroll: int = 1,
     megabatch_target: int = 512,
     encode_fn: Callable = None,
     tail_fn: Callable = None,
@@ -100,6 +101,12 @@ def make_classifier(
     small/serving batches where it keeps the chip busy). Values that do not
     divide a stage's surviving-candidate count fall back to no chunking for
     that stage.
+
+    ``scan_unroll`` unrolls the on-device evaluation/class scans by that
+    factor (``lax.scan(..., unroll=)``): numerics and predictions are
+    bit-identical for any value — unrolling only removes while-loop
+    barriers so XLA may overlap one iteration's epilogue (error reduction,
+    scatter) with the next forward. Longer compiles at higher values.
 
     When ``encode_fn(params, z, logsnr) -> prefix_state`` and
     ``tail_fn(params, prefix_state, labels) -> pred`` are provided (UNet
@@ -231,13 +238,19 @@ def make_classifier(
                 dense, _ = class_body(dense0, cand)
             else:
                 chunks = cand.reshape(b, n_cc, cc).transpose(1, 0, 2)
-                dense, _ = jax.lax.scan(class_body, dense0, chunks)
+                dense, _ = jax.lax.scan(
+                    class_body, dense0, chunks,
+                    unroll=min(max(scan_unroll, 1), n_cc),
+                )
             scored = jnp.isfinite(dense)
             err_sum = err_sum + jnp.where(scored, dense, 0.0).sum(axis=0)
             count = count + scored.sum(axis=0)
             return (err_sum, count), None
 
-        (err_sum, count), _ = jax.lax.scan(chunk_body, (err_sum, count), keys)
+        (err_sum, count), _ = jax.lax.scan(
+            chunk_body, (err_sum, count), keys,
+            unroll=min(max(scan_unroll, 1), n_chunks),
+        )
         return err_sum, count
 
     def classify(params, x, labels, rng):

@@ -166,6 +166,7 @@ class DiffusionClassifier:
             n_fast_classes=config.n_fast_classes,
             eval_group=config.classify_chunk,
             class_chunk=config.classify_class_chunk,
+            scan_unroll=config.classify_scan_unroll,
             encode_fn=self._encode,
             tail_fn=self._tail,
         )

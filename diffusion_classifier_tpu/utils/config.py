@@ -107,6 +107,10 @@ class ExperimentConfig:
     # -1 = auto: 1 at batch >= 16, megabatch below); identical predictions
     # for any value — execution schedule only
     classify_class_chunk: int = -1
+    # unroll factor for classify's on-device eval/class scans (removes
+    # while-loop barriers so XLA may overlap iterations); bit-identical
+    # predictions for any value — execution schedule only
+    classify_scan_unroll: int = 1
     # --- model extras ---
     patch_size: int = 2  # DiT
     variant: str = "resnet18"  # discriminative baseline

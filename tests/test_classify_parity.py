@@ -279,3 +279,30 @@ def test_class_chunk_is_pure_schedule():
                 fin = np.isfinite(a)
                 assert (np.isfinite(b) == fin).all()
                 np.testing.assert_allclose(a[fin], b[fin], rtol=1e-5)
+
+
+def test_scan_unroll_is_pure_schedule():
+    """scan_unroll only removes while-loop back-edges from the on-device
+    evaluation/class scans: the traced per-iteration program and the (t, ε)
+    key derivation are unchanged, so predictions and per-stage means are
+    identical for any unroll factor (including non-dividing ones)."""
+    schedule_fn = make_schedule_fn("shifted_cosine", NOISE_D, IMAGE_D)
+    x, _ = _make_inputs(seed=4)
+    labels = jnp.asarray([1, 3, 0], jnp.int32)
+
+    def build(unroll):
+        return jax.jit(make_classifier(
+            _apply_fn, schedule_fn, pred_param="v", num_classes=C,
+            n_stages=2, evaluation_per_stage=(2, 6), n_keep_per_stage=(3, 1),
+            eval_group=1, class_chunk=1, scan_unroll=unroll, trace=True,
+        ))
+
+    base_pred, base_stages = build(1)(None, x, labels, jax.random.PRNGKey(12))
+    for unroll in (2, 3, 8):  # 3 divides neither scan; 8 exceeds both
+        pred, stages = build(unroll)(None, x, labels, jax.random.PRNGKey(12))
+        np.testing.assert_array_equal(np.asarray(base_pred), np.asarray(pred))
+        for s0, s1 in zip(base_stages, stages):
+            a, b = np.asarray(s0["mean"]), np.asarray(s1["mean"])
+            fin = np.isfinite(a)
+            assert (np.isfinite(b) == fin).all()
+            np.testing.assert_allclose(a[fin], b[fin], rtol=1e-5)

@@ -367,3 +367,34 @@ def test_progress_printer_eval_loop(tmp_path, capsys):
     engine.config = cfg2.validate()
     engine.evaluate(data.get_val_loader(), classification=True)
     assert capsys.readouterr().err == ""
+
+
+def test_classify_scan_unroll_identical_predictions(tmp_path):
+    """classify_scan_unroll is a pure execution-schedule knob: engine-level
+    predictions are identical to the default for any unroll factor.
+
+    Calls the jitted classify impl directly with a FIXED key — the public
+    ``classify()`` draws from the engine's stateful rng counter, which the
+    two engines would have advanced differently."""
+    cfg, backbone, data = tiny_setup(tmp_path, num_epochs=1)
+    engine = DiffusionClassifier(backbone, cfg)
+    engine.train_loop(data.get_train_loader(), data.get_val_loader())
+    batch = next(iter(data.get_val_loader()))
+    x = jnp.asarray(batch["images"], jnp.float32)
+    labels = jnp.asarray(batch["prompt"], jnp.int32)
+    key = jax.random.PRNGKey(7)
+    base = np.asarray(
+        engine._classify_jit(engine.state.ema_params, x, labels, key)
+    )
+
+    cfg2, backbone2, _ = tiny_setup(
+        tmp_path, num_epochs=1, classify_scan_unroll=4
+    )
+    engine2 = DiffusionClassifier(backbone2, cfg2)
+    engine2.init_params(batch)
+    engine2._build_train_state(total_steps=10)
+    engine2.load_checkpoint(os.path.join(cfg.experiment_path, "checkpoints"))
+    unrolled = np.asarray(
+        engine2._classify_jit(engine2.state.ema_params, x, labels, key)
+    )
+    np.testing.assert_array_equal(base, unrolled)
