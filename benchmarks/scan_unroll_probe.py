@@ -159,6 +159,28 @@ def main():
             "images_per_sec": round(CIFAR_B / sec, 2),
         }), flush=True)
 
+    # asymmetric unrolls: flatten the eval loop, keep (or partially keep)
+    # the class scan's weight-stream pipelining
+    for eu, cu in ((2, 1), (4, 1), (1, 2)):
+        classify = make_classifier(
+            apply_fn,
+            schedule_ci,
+            pred_param="v",
+            num_classes=10,
+            n_stages=1,
+            evaluation_per_stage=(EVALS,),
+            n_keep_per_stage=(1,),
+            class_chunk=1,
+            scan_unroll=(eu, cu),
+            encode_fn=encode_fn,
+            tail_fn=tail_fn,
+        )
+        sec = measure(classify, params, x, ll)
+        print(json.dumps({
+            "config": "cifar_headline", "scan_unroll": [eu, cu],
+            "images_per_sec": round(CIFAR_B / sec, 2),
+        }), flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -81,7 +81,7 @@ def make_classifier(
     n_fast_classes: int = 2,
     eval_group: int = 0,
     class_chunk: int = 0,
-    scan_unroll: int = 1,
+    scan_unroll=1,  # int, or (eval_unroll, class_unroll)
     megabatch_target: int = 512,
     encode_fn: Callable = None,
     tail_fn: Callable = None,
@@ -107,6 +107,9 @@ def make_classifier(
     bit-identical for any value — unrolling only removes while-loop
     barriers so XLA may overlap one iteration's epilogue (error reduction,
     scatter) with the next forward. Longer compiles at higher values.
+    A ``(eval_unroll, class_unroll)`` pair applies different factors to the
+    two scans (e.g. ``(4, 1)`` flattens the evaluation loop while keeping
+    the class scan's weight-stream pipelining).
 
     When ``encode_fn(params, z, logsnr) -> prefix_state`` and
     ``tail_fn(params, prefix_state, labels) -> pred`` are provided (UNet
@@ -122,6 +125,10 @@ def make_classifier(
     assert keep[-1] == 1, (
         "Only one class should be selected at the end of the classification process."
     )
+    if isinstance(scan_unroll, (tuple, list)):
+        eval_unroll, class_unroll = scan_unroll
+    else:
+        eval_unroll = class_unroll = scan_unroll
     if fast:
         assert 2 <= n_fast_classes <= num_classes
     if eval_group:
@@ -240,7 +247,7 @@ def make_classifier(
                 chunks = cand.reshape(b, n_cc, cc).transpose(1, 0, 2)
                 dense, _ = jax.lax.scan(
                     class_body, dense0, chunks,
-                    unroll=min(max(scan_unroll, 1), n_cc),
+                    unroll=min(max(class_unroll, 1), n_cc),
                 )
             scored = jnp.isfinite(dense)
             err_sum = err_sum + jnp.where(scored, dense, 0.0).sum(axis=0)
@@ -249,7 +256,7 @@ def make_classifier(
 
         (err_sum, count), _ = jax.lax.scan(
             chunk_body, (err_sum, count), keys,
-            unroll=min(max(scan_unroll, 1), n_chunks),
+            unroll=min(max(eval_unroll, 1), n_chunks),
         )
         return err_sum, count
 

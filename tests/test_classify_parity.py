@@ -298,7 +298,8 @@ def test_scan_unroll_is_pure_schedule():
         ))
 
     base_pred, base_stages = build(1)(None, x, labels, jax.random.PRNGKey(12))
-    for unroll in (2, 3, 8):  # 3 divides neither scan; 8 exceeds both
+    # 3 divides neither scan; 8 exceeds both; (4, 1) is asymmetric
+    for unroll in (2, 3, 8, (4, 1)):
         pred, stages = build(unroll)(None, x, labels, jax.random.PRNGKey(12))
         np.testing.assert_array_equal(np.asarray(base_pred), np.asarray(pred))
         for s0, s1 in zip(base_stages, stages):
