@@ -109,8 +109,11 @@ class ExperimentConfig:
     classify_class_chunk: int = -1
     # unroll factor for classify's on-device eval/class scans (removes
     # while-loop barriers so XLA may overlap iterations); bit-identical
-    # predictions for any value — execution schedule only
-    classify_scan_unroll: int = 1
+    # predictions for any value — execution schedule only. An
+    # [eval_unroll, class_unroll] pair unrolls the two scans independently.
+    # Measured: 2 helps 2-class DiT shapes (+7%), every variant hurts the
+    # 10-class CIFAR shape (BASELINE.md round 4) — hence default 1.
+    classify_scan_unroll: Any = 1
     # --- model extras ---
     patch_size: int = 2  # DiT
     variant: str = "resnet18"  # discriminative baseline
