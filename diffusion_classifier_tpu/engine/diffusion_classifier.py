@@ -144,6 +144,21 @@ class DiffusionClassifier:
             pred_param=config.pred_param,
             null_token=self.null_token,
         )
+        # Public `.loss()` parity surface (reference `:295-344`): the
+        # reference's loss() draws t/noise and applies min-SNR weighting but
+        # does NOT drop labels — its CFG dropout happens in train_loop
+        # (`:434-439`) before loss() is called, while this engine fuses the
+        # dropout into the jitted train step. cfg_dropout=0 reproduces the
+        # reference method's exact semantics.
+        self._loss_eval_jit = jax.jit(
+            make_loss_fn(
+                self._apply,
+                self.schedule_fn,
+                pred_param=config.pred_param,
+                null_token=self.null_token,
+                cfg_dropout=0.0,
+            )
+        )
         self._sample_impl = make_sampler(
             self._apply,
             self.schedule_fn,
@@ -273,6 +288,28 @@ class DiffusionClassifier:
         labels = jnp.asarray(np.asarray(labels, np.int32))
         return self._classify_jit(
             self.state.ema_params, x, labels, self._next_rng()
+        )
+
+    def loss(self, x, labels=None):
+        """Diffusion training loss for one batch — reference ``loss(x, text)``
+        (`/root/reference/diffusion/diffusion_classifier.py:295-344`): random
+        per-row t, forward noising, denoiser forward, min-SNR-weighted MSE
+        (fp32 accumulation). No CFG label dropout — the reference applies
+        dropout in its train_loop (`:434-439`) BEFORE calling loss(); the
+        production train step here fuses that dropout into the jitted step
+        (`engine/steps.py::make_loss_fn`). ``labels=None`` scores
+        unconditionally via the null token (the reference's
+        ``encoder_hidden_states=None`` path). Uses the training params, as
+        the reference's ``self.model`` does (not the EMA copy)."""
+        assert self.state is not None, "initialize/restore parameters first"
+        x = jnp.asarray(np.asarray(x, np.float32))
+        if self._dwt is not None:
+            x = self._dwt(x)
+        if labels is None:
+            labels = jnp.full((x.shape[0],), self.null_token, jnp.int32)
+        labels = jnp.asarray(np.asarray(labels, np.int32))
+        return self._loss_eval_jit(
+            self.state.params, x, labels, self._next_rng()
         )
 
     def encode_text_prompt(self, labels):

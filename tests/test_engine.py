@@ -100,6 +100,42 @@ def test_train_loop_end_to_end(tmp_path):
     assert float(jnp.abs(out).max()) <= 1.0 + 1e-6
 
 
+def test_loss_public_method_golden(tmp_path):
+    """`.loss()` (reference `:295-344`) matches make_loss_fn(cfg_dropout=0)
+    bit-for-bit with the same rng: random-t noising + min-SNR MSE, no CFG
+    dropout (the reference drops labels in train_loop, not in loss())."""
+    from diffusion_classifier_tpu.engine.steps import make_loss_fn
+
+    cfg, backbone, data = tiny_setup(tmp_path, num_epochs=1)
+    engine = DiffusionClassifier(backbone, cfg)
+    batch = next(iter(data.get_train_loader()))
+    engine.init_params(batch)
+    engine._build_train_state(10)
+
+    rng_before = engine._rng
+    out = engine.loss(batch["images"], batch["prompt"])
+    assert out.shape == ()
+    assert np.isfinite(float(out))
+
+    golden_fn = make_loss_fn(
+        engine._apply,
+        engine.schedule_fn,
+        pred_param=cfg.pred_param,
+        null_token=engine.null_token,
+        cfg_dropout=0.0,
+    )
+    sub = jax.random.split(rng_before)[1]
+    x = jnp.asarray(np.asarray(batch["images"], np.float32))
+    labels = jnp.asarray(np.asarray(batch["prompt"], np.int32))
+    golden = golden_fn(engine.state.params, x, labels, sub)
+    np.testing.assert_allclose(float(out), float(golden), rtol=1e-6)
+
+    # labels=None scores unconditionally (null token), reference's
+    # encoder_hidden_states=None path
+    out2 = engine.loss(batch["images"])
+    assert np.isfinite(float(out2))
+
+
 def test_checkpoint_roundtrip(tmp_path):
     cfg, backbone, data = tiny_setup(tmp_path, num_epochs=1)
     engine = DiffusionClassifier(backbone, cfg)
