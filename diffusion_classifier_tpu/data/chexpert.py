@@ -62,12 +62,23 @@ class CheXpertDataset:
         wavelet_transform: bool = False,
         image_size: int = 256,
         fast_decode: bool = False,
+        decode_cache_dir: Optional[str] = None,
     ):
         # wavelet_transform recorded for parity; applied in-graph by the engine
         self.wavelet_transform = wavelet_transform
         self.data_path = data_path
         self.image_size = image_size
         self.fast_decode = fast_decode
+        # decoded-sample cache (reference ipmsa.py:174-197 lever, applied to
+        # JPEG): epoch 1 decodes + stores uint8, later epochs stream from disk
+        if decode_cache_dir:
+            from .decode_cache import DecodeCache
+
+            self._decode_cache = DecodeCache(
+                decode_cache_dir, image_size, fast=fast_decode
+            )
+        else:
+            self._decode_cache = None
         df = _load_frame(os.path.join(data_path, "train.csv"))
         n = len(df)
         if split == "train":
@@ -89,11 +100,13 @@ class CheXpertDataset:
 
     def __getitem__(self, idx: int):
         rel = os.path.join(*self.paths[idx].split("/")[1:])
-        img = decode_image(
-            os.path.join(self.data_path, rel),
-            self.image_size,
-            fast=self.fast_decode,
-        )
+        full = os.path.join(self.data_path, rel)
+        if self._decode_cache is not None:
+            arr = self._decode_cache.get_or_decode(full).astype(np.float32)
+            arr /= 255.0
+            arr = (arr - 0.5) / 0.5  # [-1, 1], NHWC
+            return arr, int(self.labels[idx])
+        img = decode_image(full, self.image_size, fast=self.fast_decode)
         arr = np.asarray(img, np.float32) / 255.0
         arr = (arr - 0.5) / 0.5  # [-1, 1], NHWC
         return arr, int(self.labels[idx])
@@ -122,6 +135,7 @@ class CheXpertDataLoader:
         image_size: int = 256,
         seed: int = 0,
         fast_decode: bool = False,
+        decode_cache_dir: Optional[str] = None,
     ):
         self.cf_label = cf_label
 
@@ -129,6 +143,7 @@ class CheXpertDataLoader:
             ds = CheXpertDataset(
                 data_path, split, wavelet_transform, image_size,
                 fast_decode=fast_decode,
+                decode_cache_dir=decode_cache_dir,
             )
 
             def load(i):

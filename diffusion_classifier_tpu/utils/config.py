@@ -89,6 +89,13 @@ class ExperimentConfig:
     # default: pixel output differs from the full decode at resampling-noise
     # level (data/loader.py::decode_image)
     fast_decode: bool = False
+    # decoded-sample disk cache for the JPEG pipelines (the reference's
+    # ipmsa.py:174-197 lever): epoch 1 decodes + stores resized uint8
+    # tensors under this directory, later epochs stream at disk bandwidth
+    # instead of re-paying libjpeg (~0.2 MB per 256x256 image). None = off.
+    # Keys include source mtime/size, image_size and fast_decode — a
+    # changed source or config re-decodes (data/decode_cache.py)
+    decode_cache_dir: Optional[str] = None
     slices: Optional[int] = None
     wavelet_transform: bool = False
     # --- optimizer ---

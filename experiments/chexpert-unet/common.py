@@ -77,6 +77,7 @@ def build_data(config: ExperimentConfig):
         image_size=config.image_size,
         seed=config.seed,
         fast_decode=config.fast_decode,
+        decode_cache_dir=config.decode_cache_dir,
     )
 
 
