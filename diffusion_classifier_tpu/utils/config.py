@@ -123,6 +123,14 @@ class ExperimentConfig:
     classify_scan_unroll: Any = 1
     # --- model extras ---
     patch_size: int = 2  # DiT
+    # DiT attention head dim (None = family parity default, 64). The model
+    # width is fixed per family, so heads = width // head_dim: head_dim=128
+    # halves the heads at identical parameter count. TPU-first performance
+    # option — D=64 attention can use at most HALF the MXU (64-deep QK^T
+    # contraction, 64 P·V output lanes; BASELINE.md round-4 MFU
+    # decomposition), D=128 uses all of it. Non-parity: the reference fixes
+    # 6x64 (experiments/chexpert-dit/train.py:118-135)
+    attention_head_dim: Optional[int] = None
     variant: str = "resnet18"  # discriminative baseline
     pretrained: bool = False
     # local torchvision-state_dict .npz for the discriminative ResNet — the

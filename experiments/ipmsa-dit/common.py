@@ -29,10 +29,15 @@ from diffusion_classifier_tpu.utils.plotters import make_ipmsa_plotter  # noqa: 
 def build_backbone(config: ExperimentConfig):
     dtype = jnp.bfloat16 if config.mixed_precision == "bf16" else jnp.float32
     wt = config.wavelet_transform
+    # width fixed at 384 (= 6*64, reference parity); attention_head_dim=128
+    # is the TPU-first full-MXU variant at identical parameter count
+    # (config.py knob; benchmarks/dit_headdim_probe.py)
+    head_dim = config.attention_head_dim or 64
+    assert 384 % head_dim == 0, f"head_dim {head_dim} must divide width 384"
     return DiT(
         DiTConfig(
-            num_attention_heads=6,
-            attention_head_dim=64,
+            num_attention_heads=384 // head_dim,
+            attention_head_dim=head_dim,
             in_channels=4 * config.image_channels if wt else config.image_channels,
             out_channels=4 * config.image_channels if wt else config.image_channels,
             num_layers=12,

@@ -59,6 +59,29 @@ def test_experiment_commons_import(experiment):
         sys.modules.pop("common", None)
 
 
+@pytest.mark.parametrize("experiment", ["chexpert-dit", "ipmsa-dit"])
+def test_dit_attention_head_dim_knob(experiment):
+    """attention_head_dim=128 halves the heads at fixed width 384 (the
+    TPU-first full-MXU variant); None keeps the 6x64 parity default."""
+    exp_dir = os.path.join(REPO, "experiments", experiment)
+    sys.path.insert(0, exp_dir)
+    try:
+        sys.modules.pop("common", None)
+        common = importlib.import_module("common")
+        cfg = ExperimentConfig(image_size=16, classes=2)
+        parity = common.build_backbone(cfg)
+        assert (parity.config.num_attention_heads,
+                parity.config.attention_head_dim) == (6, 64)
+        wide = common.build_backbone(cfg.replace(attention_head_dim=128))
+        assert (wide.config.num_attention_heads,
+                wide.config.attention_head_dim) == (3, 128)
+        with pytest.raises(AssertionError, match="divide width"):
+            common.build_backbone(cfg.replace(attention_head_dim=80))
+    finally:
+        sys.path.remove(exp_dir)
+        sys.modules.pop("common", None)
+
+
 def test_experiment_scripts_have_entrypoints():
     for experiment in (
         "cifar10",
