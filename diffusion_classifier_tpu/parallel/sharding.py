@@ -156,19 +156,26 @@ def shard_params(
 def restore_placement(mesh: Mesh, live_tree):
     """Target shardings for re-placing a restored checkpoint pytree.
 
-    Mesh-placed leaves (NamedSharding: TP/FSDP shards, jit outputs) keep
-    their exact placement. Anything else — e.g. uncommitted single-device
-    scalars like a fresh ``step`` counter — maps to replication: copying its
-    single-device sharding verbatim would COMMIT the restored leaf to that
-    one device, and a later jit over mesh-placed params then fails with
-    "incompatible devices" (committed single-device scalar vs 8-device
-    params).
+    Mesh-placed leaves keep their exact placement — NamedSharding (TP/FSDP
+    shards, most jit outputs) AND any other multi-device Sharding: jitted
+    train steps under FSDP can return leaves carrying compiler-chosen
+    GSPMDSharding, and mapping those to replication would silently undo the
+    ZeRO-3 placement on resume. Anything else — e.g. uncommitted
+    single-device scalars like a fresh ``step`` counter — maps to
+    replication: copying its single-device sharding verbatim would COMMIT
+    the restored leaf to that one device, and a later jit over mesh-placed
+    params then fails with "incompatible devices" (committed single-device
+    scalar vs 8-device params).
     """
     rep = NamedSharding(mesh, P())
 
     def target(a):
         s = getattr(a, "sharding", None)
-        return s if isinstance(s, NamedSharding) else rep
+        if isinstance(s, NamedSharding):
+            return s
+        if isinstance(s, jax.sharding.Sharding) and s.num_devices > 1:
+            return s
+        return rep
 
     return jax.tree.map(target, live_tree)
 

@@ -168,6 +168,44 @@ def test_fsdp_composes_with_tp():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
 
+def test_restore_placement_preserves_multidevice_compiler_shardings():
+    """Jitted FSDP train steps can return leaves carrying compiler-chosen
+    (GSPMD) shardings rather than NamedSharding; restore_placement must keep
+    any such multi-device placement verbatim — mapping it to replication
+    would silently undo ZeRO-3 on resume. Only single-device non-Named
+    leaves (uncommitted scalars) replicate. jaxlib's GSPMDSharding is not
+    publicly constructible, so a minimal Sharding subclass stands in."""
+    from jax.sharding import NamedSharding
+
+    from diffusion_classifier_tpu.parallel.sharding import restore_placement
+
+    mesh = make_mesh(data=8, model=1)
+
+    class _CompilerChosen(jax.sharding.Sharding):
+        def __init__(self, n):
+            self._n = n
+
+        @property
+        def num_devices(self):
+            return self._n
+
+    class _Leaf:
+        def __init__(self, s):
+            self.sharding = s
+
+    sharded = _Leaf(_CompilerChosen(8))
+    single = _Leaf(_CompilerChosen(1))
+    named = jax.device_put(
+        jnp.zeros((8, 8)), NamedSharding(mesh, P("data", None))
+    )
+    targets = restore_placement(
+        mesh, {"a": sharded, "b": single, "c": named}
+    )
+    assert targets["a"] is sharded.sharding, "multi-device placement dropped"
+    assert targets["b"] == NamedSharding(mesh, P()), "scalar must replicate"
+    assert targets["c"] == named.sharding
+
+
 def test_engine_fsdp_end_to_end(tmp_path, monkeypatch):
     """DiffusionClassifier with param_sharding='fsdp': train + classify +
     checkpoint resume keep the sharded placement (engine integration)."""
