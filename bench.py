@@ -472,8 +472,9 @@ def _host_pipeline_line():
 
                 crate(128)  # epoch 1: decode + populate
                 cached = max(crate(1024) for _ in range(2))
-            except Exception:
-                cached = None
+                cache_err = None
+            except Exception as e:  # label the drop, never hide it
+                cached, cache_err = None, str(e)[:80]
 
             line = {
                 "metric": "host_pipeline_images_per_sec",
@@ -490,6 +491,8 @@ def _host_pipeline_line():
             }
             if cached is not None:
                 line["decode_cache_epoch_images_per_sec"] = round(cached, 1)
+            elif cache_err is not None:
+                line["decode_cache_error"] = cache_err
             return line
         finally:
             shutil.rmtree(tmp, ignore_errors=True)

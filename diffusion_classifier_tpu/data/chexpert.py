@@ -55,6 +55,10 @@ def _load_frame(csv_path: str):
 
 
 class CheXpertDataset:
+    # class-level default: off unless __init__ builds one (tests construct
+    # partial instances via __new__)
+    _decode_cache = None
+
     def __init__(
         self,
         data_path: str,
