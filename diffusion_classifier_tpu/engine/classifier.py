@@ -142,7 +142,8 @@ class Classifier:
     def _build_train_step(self, total_steps: int):
         cfg = self.config
         self._tx = make_optimizer(
-            cfg.learning_rate, cfg.lr_warmup_steps, total_steps
+            cfg.learning_rate, cfg.lr_warmup_steps, total_steps,
+            state_dtype=cfg.optimizer_state_dtype,
         )
         self._opt_state = self._tx.init(self.variables["params"])
         model, tx = self.model, self._tx

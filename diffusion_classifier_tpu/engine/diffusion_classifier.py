@@ -245,7 +245,8 @@ class DiffusionClassifier:
     def _build_train_state(self, total_steps: int) -> None:
         cfg = self.config
         self._tx = make_optimizer(
-            cfg.learning_rate, cfg.lr_warmup_steps, total_steps
+            cfg.learning_rate, cfg.lr_warmup_steps, total_steps,
+            state_dtype=cfg.optimizer_state_dtype,
         )
         self.state = init_train_state(self._init_params, self._tx)
         self._train_step = make_train_step(

@@ -35,6 +35,7 @@ __all__ = [
     "ema_update",
     "cosine_warmup_schedule",
     "lr_at",
+    "compress_opt_state",
     "make_optimizer",
 ]
 
@@ -125,19 +126,74 @@ def lr_at(
     return base_lr * max(0.0, 0.5 * (1.0 + math.cos(math.pi * progress)))
 
 
+def _cast_float_leaves(tree: PyTree, dtype) -> PyTree:
+    """Cast floating leaves of an optimizer-state pytree; ints (Adam's
+    ``count``) pass through."""
+    return jax.tree.map(
+        lambda x: (
+            x.astype(dtype)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x
+        ),
+        tree,
+    )
+
+
+def compress_opt_state(
+    tx: optax.GradientTransformation, dtype
+) -> optax.GradientTransformation:
+    """Store the optimizer state in ``dtype``; compute every update in fp32.
+
+    The whole-train-step roofline measured both train configs at ~49% MFU
+    with the fwd+bwd matmuls compute-bound (classify MFUs 77-81%) — the gap
+    is the optimizer/EMA epilogue streaming ~6 fp32 copies of every
+    parameter at O(1) FLOPs/byte (BASELINE.md round-5 rooflines). Adam's
+    mu/nu are 2 of those copies, read+written each step; storing them in
+    bf16 halves that traffic. The moment math still runs in fp32: state is
+    up-cast before the inner ``update`` and the fresh state down-cast after,
+    so only the storage precision changes (~8 mantissa bits on mu/nu, a
+    standard large-scale-training trade; master params, grads and EMA stay
+    fp32). No reference analog (torch.optim.Adam is fp32-only,
+    `/root/reference/experiments/cifar10/train.py:106-113`) — a TPU-first
+    production option, default off.
+    """
+
+    def init(params):
+        return _cast_float_leaves(tx.init(params), dtype)
+
+    def update(updates, state, params=None, **extra):
+        state32 = _cast_float_leaves(state, jnp.float32)
+        out, new_state = tx.update(updates, state32, params, **extra)
+        return out, _cast_float_leaves(new_state, dtype)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(
     learning_rate: float,
     warmup_steps: int,
     total_steps: int,
     *,
     max_grad_norm: float = 1.0,
+    state_dtype: str | None = None,
 ) -> optax.GradientTransformation:
-    return optax.chain(
+    """Reference optimizer (clip-by-global-norm 1.0 + Adam with HF cosine
+    warmup schedule). ``state_dtype='bf16'`` stores the Adam moments in
+    bfloat16 (:func:`compress_opt_state`); None/'fp32' keeps exact parity.
+    """
+    tx = optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
         optax.adam(
             cosine_warmup_schedule(learning_rate, warmup_steps, total_steps)
         ),
     )
+    if state_dtype in ("bf16", "bfloat16"):
+        tx = compress_opt_state(tx, jnp.bfloat16)
+    elif state_dtype not in (None, "fp32", "float32", "no"):
+        raise ValueError(
+            f"optimizer_state_dtype must be 'fp32' or 'bf16', got {state_dtype!r}"
+        )
+    return tx
 
 
 def init_train_state(params: PyTree, tx: optax.GradientTransformation) -> TrainState:

@@ -101,6 +101,12 @@ class ExperimentConfig:
     # --- optimizer ---
     learning_rate: float = 1e-4
     lr_warmup_steps: int = 500
+    # 'bf16' stores the Adam moments in bfloat16 (update math stays fp32):
+    # the train-step rooflines showed ~49% MFU with the bottleneck in the
+    # optimizer/EMA epilogue's fp32 parameter-copy streaming — mu/nu are 2
+    # of its ~6 copies (engine/state.py::compress_opt_state). TPU-first
+    # production option; 'fp32' (default) = reference parity
+    optimizer_state_dtype: str = "fp32"
     # --- classification protocol (reference :657-725) ---
     classification: bool = True
     fast_classification: bool = False
@@ -188,6 +194,10 @@ class ExperimentConfig:
         assert self.param_sharding in ("tp", "fsdp", "replicated"), (
             f"param_sharding must be 'tp', 'fsdp' or 'replicated' "
             f"(got {self.param_sharding!r})"
+        )
+        assert self.optimizer_state_dtype in ("fp32", "bf16"), (
+            f"optimizer_state_dtype must be 'fp32' or 'bf16' "
+            f"(got {self.optimizer_state_dtype!r})"
         )
         ev = tuple(self.evaluation_per_stage)
         nk = tuple(self.n_keep_per_stage)

@@ -122,6 +122,62 @@ def test_grad_accum_runs_and_steps_once():
     assert float(new_state.params["w"]) != float(state.params["w"])
 
 
+def test_bf16_opt_state_dtype_and_tracking():
+    """optimizer_state_dtype='bf16': Adam moments stored in bfloat16, count
+    stays int, update math runs in fp32 — a short training run tracks the
+    fp32-state optimizer closely (storage precision only)."""
+    sched = make_schedule_fn("cosine", 8, 8)
+    loss_fn = make_loss_fn(
+        _tiny_apply, sched, pred_param="eps", null_token=2, cfg_dropout=0.0
+    )
+    params = {"w": jnp.array(0.0), "b": jnp.zeros(3)}
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 4, 4, 1))
+    labels = jnp.array([0, 1] * 4)
+
+    def run(state_dtype):
+        tx = make_optimizer(1e-2, 10, 200, state_dtype=state_dtype)
+        state = init_train_state(params, tx)
+        step = make_train_step(
+            loss_fn, tx, EmaConfig(0.99, 0, 1), grad_accum_steps=1,
+            donate=False,
+        )
+        rng = jax.random.PRNGKey(0)
+        for _ in range(30):
+            rng, sub = jax.random.split(rng)
+            state, loss = step(state, x, labels, sub)
+        return state
+
+    bf = run("bf16")
+    moment_dtypes = {
+        str(leaf.dtype)
+        for leaf in jax.tree.leaves(bf.opt_state)
+        if jnp.issubdtype(leaf.dtype, jnp.floating)
+    }
+    assert moment_dtypes == {"bfloat16"}, moment_dtypes
+    counts = [
+        leaf for leaf in jax.tree.leaves(bf.opt_state)
+        if jnp.issubdtype(leaf.dtype, jnp.integer)
+    ]
+    assert counts and all(int(c) == 30 for c in counts)
+    # master params stay fp32 and track the fp32-state run
+    fp = run("fp32")
+    assert all(
+        leaf.dtype == jnp.float32 for leaf in jax.tree.leaves(bf.params)
+    )
+    np.testing.assert_allclose(
+        float(bf.params["w"]), float(fp.params["w"]), rtol=0.02, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(bf.params["b"]), np.asarray(fp.params["b"]),
+        rtol=0.02, atol=2e-4,
+    )
+    # rejects anything that is not fp32/bf16
+    import pytest
+
+    with pytest.raises(ValueError):
+        make_optimizer(1e-2, 10, 200, state_dtype="fp16")
+
+
 def test_lr_at_matches_jnp_schedule():
     """Host-side lr_at mirrors cosine_warmup_schedule bit-comparably."""
     import pytest
