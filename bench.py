@@ -840,8 +840,20 @@ def main():
     _guard(180, ["classify_achieved_tflops"], classify_roofline_block)
 
     # ---- CheXpert-256 + IPMSA + OOD lines ----
-    _chexpert_blocks()
-    _ipmsa_ood_blocks()
+    # Nothing in the per-config groups may kill the run: a setup failure
+    # (model ctor, param fill compile) emits one labeled error line for the
+    # group and the headline still prints (driver contract).
+    for group in (_chexpert_blocks, _ipmsa_ood_blocks, _dit_hd128_block):
+        try:
+            group()
+        except Exception as e:
+            emit(
+                {
+                    "metric": group.__name__.strip("_"),
+                    "value": None,
+                    "error": str(e)[:160],
+                }
+            )
 
     # ---- headline (LAST line, driver contract) ----
     headline["elapsed_s"] = round(time.monotonic() - _T0, 1)
@@ -857,6 +869,24 @@ def _chexpert_blocks():
     (`/root/reference/experiments/chexpert-unet/train.py:118-138`,
     `/root/reference/experiments/chexpert-dit/train.py:116-134`).
     """
+    # the group's setup itself costs a param-fill compile per model; if the
+    # budget cannot cover even the cheapest block, skip the whole group with
+    # labeled lines instead of paying setup for nothing
+    group_metrics = [
+        "chexpert_unet_dwt_classify_images_per_sec",
+        "chexpert_unet_dwt_achieved_tflops",
+        "chexpert_unet_dwt_classify_b1_latency_ms",
+        "chexpert_dit_b4_classify_images_per_sec",
+        "chexpert_dit_b4_achieved_tflops",
+        "chexpert_dit_b4_classify_b1_latency_ms",
+        "chexpert_dit_b4_train_images_per_sec",
+        "chexpert_dit_b4_train_achieved_tflops",
+    ]
+    if _remaining() < 180:
+        for m in group_metrics:
+            emit({"metric": m, "value": None, "skipped": "deadline"})
+        return
+
     import jax
     import jax.numpy as jnp
 
@@ -999,6 +1029,13 @@ def _chexpert_blocks():
         )
 
     _guard(150, ["chexpert_unet_dwt_classify_b1_latency_ms"], cx_b1_block)
+
+    # budget gate before the DiT param-fill compile (same rationale as the
+    # group gate above)
+    if _remaining() < 150:
+        for m in group_metrics[3:]:
+            emit({"metric": m, "value": None, "skipped": "deadline"})
+        return
 
     # -- CheXpert-256 DiT-b4 (384 wide, 12 layers, patch 4 → 1024 tokens;
     #    attn_backend='auto' routes to the Pallas flash-attention kernel) --
@@ -1369,6 +1406,84 @@ def _ipmsa_ood_blocks():
         ],
         ood_block,
     )
+
+
+def _dit_hd128_block():
+    """TPU-first DiT variant: `attention_head_dim=128` at the same width.
+
+    Same 32.6M parameters and model width as the parity DiT-b4 line (which
+    stays 6×64 for reference parity) but 3 heads × D=128, so both flash
+    matmuls use the full MXU depth. Probe-measured at +25.8% classify /
+    79.5% MFU vs the parity config's 63.2% (BASELINE.md round 5,
+    `benchmarks/dit_headdim_probe.py`); this line makes the variant
+    driver-visible. Lowest-priority block: last to run, first skipped.
+    """
+    metric = "chexpert_dit_b4_hd128_classify_images_per_sec"
+    if _remaining() < 150:
+        emit({"metric": metric, "value": None, "skipped": "deadline"})
+        return
+
+    def block():
+        import jax
+        import jax.numpy as jnp
+
+        from diffusion_classifier_tpu.diffusion.classify import make_classifier
+        from diffusion_classifier_tpu.diffusion.schedule import make_schedule_fn
+        from diffusion_classifier_tpu.engine.denoiser import Denoiser
+        from diffusion_classifier_tpu.models.dit import DiT, DiTConfig
+        from diffusion_classifier_tpu.ops.wavelet import haar_dwt2
+
+        rng = jax.random.PRNGKey(0)
+        x_raw = jax.random.uniform(
+            rng, (CX_BATCH, 256, 256, 3), minval=-1, maxval=1
+        )
+        labels = jnp.zeros((CX_BATCH,), jnp.int32)
+        schedule_fn = make_schedule_fn("shifted_cosine", 64, 256)
+        dwt = lambda img: haar_dwt2(img) / 2.0
+        dit = Denoiser(
+            backbone=DiT(
+                DiTConfig(
+                    num_attention_heads=3,
+                    attention_head_dim=128,
+                    in_channels=12,
+                    out_channels=12,
+                    num_layers=12,
+                    sample_size=128,
+                    patch_size=4,
+                    num_classes=2,
+                    attn_backend="auto",
+                ),
+                dtype=jnp.bfloat16,
+            ),
+            encoder=None,
+        )
+        x0 = dwt(x_raw)
+        params = _fast_params(dit.init, rng, x0, jnp.zeros((CX_BATCH,)), labels)
+        inner = make_classifier(
+            lambda p, z, lg, lab: dit.apply(p, z, lg, lab),
+            schedule_fn,
+            pred_param="v",
+            num_classes=2,
+            n_stages=1,
+            evaluation_per_stage=(EVALS,),
+            n_keep_per_stage=(1,),
+            class_chunk=CLASS_CHUNK,
+            scan_unroll=2,
+        )
+        fn = lambda p, xx, ll, key: inner(p, dwt(xx), ll, key)
+        call, _ = _aot_chain(fn, params, x_raw, labels)
+        sec = _measure_call(call, chain=CX_CHAIN, trials=CX_TRIALS)
+        emit(
+            {
+                "metric": metric,
+                "value": round(CX_BATCH / sec, 3),
+                "unit": "images/sec",
+                "protocol": "binary, 4 evals, 1024 tokens, 3 heads x D=128",
+                "note": "non-parity TPU-first variant, same params/width as dit_b4",
+            }
+        )
+
+    _guard(150, [metric], block)
 
 
 if __name__ == "__main__":
