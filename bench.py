@@ -62,6 +62,7 @@ import itertools
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, ".")
@@ -102,12 +103,59 @@ PEAK_FLOPS = 197e12
 PEAK_HBM = 819e9
 
 # Wall-clock budget (VERDICT r4 §1). The driver's round-4 run was killed by
-# an external timeout somewhere past the ~25-minute mark; 1500 s keeps the
-# whole bench — headline guaranteed — safely inside that while a warm
-# persistent compile cache lets every line land in well under the budget.
-DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "1500"))
+# an external timeout somewhere past the ~25-minute (1500 s) mark; 1380 s
+# keeps the whole bench — headline guaranteed — safely inside that even if
+# the kill is at exactly 1500 s, while a warm persistent compile cache lets
+# every line land in well under the budget. The round-5 calibration run
+# (BASELINE.md) showed guard estimates alone cannot bound the total — a
+# block admitted at T-est can overrun (elapsed 1521 s vs a 1500 s budget) —
+# so a watchdog thread HARD-stops the process at the deadline: it prints
+# the already-measured headline as the last line and exits 0.
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "1380"))
 RESERVE_S = 60.0  # head-room kept for the final headline print
 _T0 = time.monotonic()
+
+# Set by main() the moment the headline ratio block completes; the watchdog
+# and the normal exit path race to print it exactly once (_emit_headline).
+_HEADLINE = None
+_HEADLINE_PRINTED = False
+_HEADLINE_LOCK = threading.Lock()
+
+
+def _emit_headline(error=None):
+    """Print the headline as the last line, exactly once (driver contract).
+    Called from the watchdog (deadline), the normal end of main(), or the
+    top-level exception handler — whichever comes first wins."""
+    global _HEADLINE_PRINTED
+    with _HEADLINE_LOCK:
+        if _HEADLINE_PRINTED:
+            return
+        _HEADLINE_PRINTED = True
+        line = _HEADLINE if _HEADLINE is not None else {
+            "metric": "elbo_classify_images_per_sec",
+            "value": None,
+            "error": error or "deadline before the headline block completed",
+        }
+        line["elapsed_s"] = round(time.monotonic() - _T0, 1)
+        # start on a fresh line: the main thread could be mid-print when the
+        # watchdog fires, and the headline must parse as the last line
+        sys.stdout.write("\n")
+        emit(line)
+
+
+def _start_watchdog():
+    """Hard deadline: whatever block is mid-flight, the process prints the
+    headline and exits 0 at DEADLINE_S - 2 s. Guards make overruns unlikely;
+    the watchdog makes them survivable (an external kill after the deadline
+    would otherwise leave the wrong line last, as in BENCH_r04)."""
+
+    def _fire():
+        time.sleep(max(1.0, DEADLINE_S - 2.0 - (time.monotonic() - _T0)))
+        _emit_headline()
+        sys.stdout.flush()
+        os._exit(0)
+
+    threading.Thread(target=_fire, daemon=True).start()
 
 
 def _remaining():
@@ -517,6 +565,8 @@ def main():
         enable_compilation_cache,
     )
 
+    _start_watchdog()
+
     # host input-pipeline feed rate first: no TPU involved, lands even if
     # the remote compiler is slow
     emit(_host_pipeline_line())
@@ -656,6 +706,7 @@ def main():
     ratios_licm = sorted(
         f / g for f, g in zip(series["licm"], series["fused"])
     )
+    global _HEADLINE
     headline = {
         "metric": "elbo_classify_images_per_sec",
         "value": round(BATCH / fused_med, 3),
@@ -674,6 +725,7 @@ def main():
         "inner_deltas": inner,
         **contention,
     }
+    _HEADLINE = headline  # from here on the watchdog can land the contract
 
     # ---- secondary: training step (fwd+bwd+clip+Adam+EMA) + roofline ----
     def train_block():
@@ -856,8 +908,7 @@ def main():
             )
 
     # ---- headline (LAST line, driver contract) ----
-    headline["elapsed_s"] = round(time.monotonic() - _T0, 1)
-    emit(headline)
+    _emit_headline()
 
 
 def _chexpert_blocks():
@@ -1487,4 +1538,10 @@ def _dit_hd128_block():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 — contract: headline last, rc 0
+        if isinstance(e, KeyboardInterrupt):
+            raise
+        _emit_headline(error=f"{type(e).__name__}: {e}"[:160])
+    sys.exit(0)
