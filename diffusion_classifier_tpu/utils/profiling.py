@@ -88,3 +88,7 @@ def enable_compilation_cache(cache_dir: str) -> None:
     import jax
 
     jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # default min-compile-time is 1.0 s, which silently skips caching the
+    # many mid-sized bench/eval programs; everything non-trivial is worth
+    # persisting when the alternative is a remote recompile
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
